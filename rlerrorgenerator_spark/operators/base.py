@@ -1,0 +1,131 @@
+"""Shared machinery for error-injection transforms.
+
+Reference semantics being reproduced (SURVEY.md §2.A "common driver
+semantics", `/root/reference/R/1_error.R:48-109`):
+
+- resolve ``n_errors`` from a fraction or absolute count;
+- sample candidate rows *without replacement* among eligible rows;
+- mutate the cell;
+- append lineage rows ``(rid, field, error, before, after, ts)``
+  (`/root/reference/R/1_error.R:30-36` ``update_error_record``).
+
+Scale design: candidate sampling is a distributed seeded top-k
+(``orderBy(xxhash64).limit(k)`` → TakeOrderedAndProject, no global
+shuffle), or hash-Bernoulli for the 10^12-row path; the mutation itself is
+either a built-in column expression or one Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rlerrorgenerator_spark.rng import bernoulli_col, rank_col
+
+KEY = "rid"
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("rid", T.StringType(), False),
+        T.StructField("field", T.StringType(), False),
+        T.StructField("error", T.StringType(), False),
+        T.StructField("before", T.StringType(), True),
+        T.StructField("after", T.StringType(), True),
+        T.StructField("ts", T.LongType(), False),
+    ]
+)
+
+# name -> transform fn; mirrors the reference's by-name dynamic dispatch
+# from the error-table config (`/root/reference/R/1_error.R:95-100`).
+REGISTRY: dict[str, Callable] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        REGISTRY[name] = fn
+        fn.__transform_name__ = name
+        return fn
+    return deco
+
+
+def empty_lineage(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], LINEAGE_SCHEMA)
+
+
+def resolve_n_errors(amount: float, n_rows: int) -> int:
+    """`ceiling(amount*n)` if amount<1 else int(amount)
+    (`/root/reference/R/1_error.R:78-80`)."""
+    return math.ceil(amount * n_rows) if amount < 1 else int(amount)
+
+
+def split_across_cols(n_errors: int, n_cols: int) -> int:
+    """`floor(n_errors / p)` per column
+    (`/root/reference/R/2_edit_distance_errors.R:6-8`)."""
+    return max(n_errors // n_cols, 0) if n_cols else 0
+
+
+def choose_ids(
+    df: DataFrame,
+    eligible: Column,
+    k: int,
+    seed: int,
+    stage: str,
+    exact: bool = True,
+    rate: float | None = None,
+) -> DataFrame:
+    """Seeded sample of ``k`` eligible row keys, without replacement.
+
+    exact=True  → distributed top-k on a deterministic hash rank
+                  (test-scale & "exactly k" semantics of the reference).
+    exact=False → hash-threshold Bernoulli(rate): no ranking, the
+                  10^12-row path (binomially equivalent; SURVEY.md §4).
+    """
+    cand = df.where(eligible).select(KEY)
+    if exact:
+        return cand.orderBy(rank_col(KEY, seed, stage)).limit(int(k))
+    assert rate is not None
+    return cand.where(bernoulli_col(KEY, seed, stage, rate))
+
+
+def apply_cell_edit(
+    df: DataFrame,
+    col: str,
+    selected: DataFrame,
+    new_value: Column,
+    error: str,
+    ts: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Overwrite ``col`` with ``new_value`` on selected rows; emit lineage.
+
+    ``new_value`` (built-in expr or pandas-UDF call; may reference any
+    column of ``df``) is evaluated ONLY over the selected rows — pandas
+    UDFs inside ``when()`` would otherwise run on every row of the table.
+    The k-row edit set then joins back; under the session's broadcast
+    threshold + AQE this is a broadcast-hash join for typical error rates,
+    a shuffled join when the edit set is genuinely huge.
+    """
+    sel_rows = df.join(selected.select(KEY), KEY, "left_semi")
+    edited = sel_rows.withColumn("__after", new_value).select(
+        F.col(KEY),
+        F.col(col).cast("string").alias("__before"),
+        F.col("__after"),
+    )
+    lineage_new = edited.select(
+        F.col(KEY).alias("rid"),
+        F.lit(col).alias("field"),
+        F.lit(error).alias("error"),
+        F.col("__before").alias("before"),
+        F.col("__after").cast("string").alias("after"),
+        F.lit(ts).cast("long").alias("ts"),
+    )
+    patch = edited.select(KEY, F.lit(True).alias("__sel"), "__after")
+    out = (
+        df.join(patch, KEY, "left")
+        .withColumn(col, F.when(F.col("__sel"), F.col("__after")).otherwise(F.col(col)))
+        .drop("__sel", "__after")
+    )
+    return out, lineage_new

@@ -1,0 +1,198 @@
+"""The ``mess_data`` driver: interpret an error-config program.
+
+Reference: `/root/reference/R/1_error.R:44-127` (S3 generic + df_pairs
+method) and the CSV program format `benchmarking/error_table.csv:1-22` —
+rows ``(error, amount, col_names, arguments)``; ``amount<1`` is a fraction
+(``ceiling(amount*n)``), ``≥1`` an absolute count; dynamic dispatch by
+function name via a registry; ``add_duplicates`` always held for last
+(`R/1_error.R:115-126`).
+
+Spark lifecycle (SURVEY.md §3.1): each config row appends lazy DataFrame
+plan (narrow ops + small joins + at most one pandas UDF); because each
+stage references its input ~3× (candidate scan, edit set, patch join),
+un-checkpointed plans grow ~3^k — the driver therefore checkpoints each
+stage (``localCheckpoint`` volatile, or durable parquet/Iceberg via a
+``CheckpointManager``), exactly the per-stage snapshot discipline of the
+reference (`benchmarking/utils.R:504-641`) and the north rule's resumable
+stages.
+"""
+
+from __future__ import annotations
+
+import ast
+import csv
+import io
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rlerrorgenerator_spark.checkpoint import CheckpointManager
+from rlerrorgenerator_spark.operators.base import (
+    REGISTRY,
+    empty_lineage,
+    resolve_n_errors,
+)
+
+ROW_OPS = {"add_duplicates", "add_near_duplicates", "twins_generate"}
+
+
+@dataclass
+class ErrorConfigRow:
+    error: str
+    amount: float
+    col_names: list[str] = dc_field(default_factory=list)
+    kwargs: dict = dc_field(default_factory=dict)
+
+
+def parse_error_table(csv_text: str) -> list[ErrorConfigRow]:
+    """Parse the reference's CSV program format
+    (`benchmarking/error_table.csv`): error, amount, col_names (comma
+    separated), arguments (``k=v`` pairs, Python literals)."""
+    rows = []
+    for rec in csv.DictReader(io.StringIO(csv_text)):
+        kwargs = {}
+        arg_text = (rec.get("arguments") or "").strip()
+        if arg_text:
+            for part in _split_args(arg_text):
+                k, _, v = part.partition("=")
+                kwargs[k.strip()] = ast.literal_eval(v.strip())
+        cols = [c.strip() for c in (rec.get("col_names") or "").split(",") if c.strip()]
+        rows.append(ErrorConfigRow(rec["error"].strip(), float(rec["amount"]), cols, kwargs))
+    return rows
+
+
+def _split_args(text: str) -> list[str]:
+    parts, depth, quote, cur = [], 0, None, []
+    for ch in text:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch in "([{":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]}":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p for p in (s.strip() for s in parts) if p]
+
+
+def mess_data(
+    clean: DataFrame,
+    config: list[ErrorConfigRow],
+    *,
+    seed: int = 42,
+    lookups: dict[str, DataFrame] | None = None,
+    exact: bool = True,
+    amount_mult: float = 1.0,
+    ckpt: CheckpointManager | None = None,
+    checkpoint_every: int = 1,
+    verbose: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Apply the error program to a copy of ``clean``; return
+    ``(dirty, lineage)``.
+
+    Mirrors ``mess_data.df_pairs`` (`R/1_error.R:111-127`): errors hit the
+    secondary copy only; row-generating ops (duplicates/twins) run last so
+    they can read the finished lineage. ``amount_mult`` scales every rate
+    (calibration hook, `benchmarking/utils.R:699-709`).
+    """
+    spark = clean.sparkSession
+    lookups = lookups or {}
+    n = clean.count()
+    dirty = clean
+    lineage = empty_lineage(spark)
+    ordered = [r for r in config if r.error not in ROW_OPS] + [
+        r for r in config if r.error in ROW_OPS
+    ]
+    ts = 0
+    since_ckpt = 0
+    for row in ordered:
+        fn = REGISTRY.get(row.error)
+        if fn is None:
+            raise KeyError(f"unknown error transform {row.error!r}; "
+                           f"registered: {sorted(REGISTRY)}")
+        amount = row.amount * amount_mult
+        n_errors = resolve_n_errors(min(amount, 1.0) if row.amount < 1 else amount, n)
+        rate = min(amount, 1.0) if row.amount < 1 else min(amount / max(n, 1), 1.0)
+        kwargs = dict(row.kwargs)
+        # resolve named lookup dims from the provided dict
+        for key in ("lookup", "surnames", "names"):
+            if key in kwargs and isinstance(kwargs[key], str):
+                kwargs[key] = lookups[kwargs[key]]
+            elif key not in kwargs and key in lookups and _needs(fn, key):
+                kwargs[key] = lookups[key]
+        if row.error == "add_duplicates":
+            kwargs["clean"] = clean
+        ts += 1
+        dirty, ln = fn(
+            dirty, lineage, n_errors, row.col_names,
+            seed=seed, stage=f"s{ts:03d}", ts=ts,
+            exact=exact, rate=rate, **kwargs,
+        )
+        lineage = lineage.unionByName(ln)
+        if verbose:
+            print(f"[mess_data] {ts:02d} {row.error} n={n_errors}")
+        since_ckpt += 1
+        if since_ckpt >= checkpoint_every:
+            mgr = ckpt or CheckpointManager(spark)
+            dirty = mgr.stage(dirty, f"dirty_ts{ts:03d}")
+            lineage = mgr.stage(lineage, f"lineage_ts{ts:03d}")
+            since_ckpt = 0
+    mgr = ckpt or CheckpointManager(spark)
+    dirty = mgr.stage(dirty, "dirty_final")
+    lineage = mgr.stage(lineage, "lineage_final")
+    return dirty, lineage
+
+
+def _needs(fn, key: str) -> bool:
+    import inspect
+
+    return key in inspect.signature(fn).parameters
+
+
+def calc_perc_id_err(lineage: DataFrame, n_rows: int) -> float:
+    """Fraction of distinct row ids with ≥1 error
+    (`benchmarking/utils.R:648-661`)."""
+    return lineage.select("rid").distinct().count() / max(n_rows, 1)
+
+
+def calibrate_error_rate(
+    clean: DataFrame,
+    config: list[ErrorConfigRow],
+    e_target: float,
+    *,
+    seed: int = 42,
+    lookups: dict[str, DataFrame] | None = None,
+    err_mult: float = 1.0,
+    err_mult_inc: float = 0.25,
+    max_iter: int = 8,
+    exact: bool = True,
+) -> tuple[DataFrame, DataFrame, float]:
+    """Regenerate with scaled amounts until the realized distinct-errored-id
+    fraction ≥ ``e_target`` (`benchmarking/utils.R:712-768`). One count()
+    action per iteration; the clean table should be cached by the caller."""
+    n = clean.count()
+    last = None
+    for _ in range(max_iter):
+        dirty, lineage = mess_data(
+            clean, config, seed=seed, lookups=lookups, exact=exact,
+            amount_mult=err_mult,
+        )
+        realized = calc_perc_id_err(lineage, n)
+        last = (dirty, lineage, err_mult)
+        if realized >= e_target:
+            return last
+        err_mult += err_mult_inc
+    return last

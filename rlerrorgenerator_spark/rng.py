@@ -1,0 +1,81 @@
+"""Deterministic, partition-invariant randomness.
+
+The reference relies on R's *global* RNG + sequential `sample()` calls
+(seeds at `/root/reference/exta/workflow.R:6`,
+`/root/reference/benchmarking/utils.R:317-320`), which is irreproducible
+under any parallelism: results depend on row visit order. We replace that
+with per-row seeded RNG keyed on ``hash64(seed | stage | row_key)`` so the
+same (seed, stage, key) always yields the same draws regardless of
+partition count, task order, or cluster size.
+
+Two layers:
+
+- JVM side: ``F.xxhash64(lit(token), col(key))`` for seeded ranking /
+  Bernoulli selection — stays in whole-stage codegen.
+- Python side (inside Arrow-batched pandas UDFs): ``blake2b``-derived
+  64-bit streams feeding ``numpy.random.Generator`` per row.
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_U64 = np.uint64
+MAX_U64 = float(2**64)
+
+
+def hash64_py(key: str, seed: int, stage: str) -> int:
+    """Stable 64-bit hash of (seed, stage, key). Pure Python, no xxhash dep."""
+    h = blake2b(f"{seed}|{stage}|{key}".encode("utf-8"), digest_size=8)
+    return int.from_bytes(h.digest(), "big")
+
+
+def hash64_series(keys: pd.Series, seed: int, stage: str) -> np.ndarray:
+    """Vectorized-ish stable hash of a key series → uint64 array."""
+    prefix = f"{seed}|{stage}|".encode("utf-8")
+    out = np.empty(len(keys), dtype=_U64)
+    for i, k in enumerate(keys.astype(str).to_numpy()):
+        out[i] = int.from_bytes(
+            blake2b(prefix + k.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+    return out
+
+
+def row_rng(key: str, seed: int, stage: str) -> np.random.Generator:
+    """A numpy Generator seeded deterministically for one row."""
+    return np.random.default_rng(hash64_py(key, seed, stage))
+
+
+def uniform_series(keys: pd.Series, seed: int, stage: str) -> np.ndarray:
+    """Deterministic U[0,1) per key — same value for same (key,seed,stage)."""
+    return hash64_series(keys, seed, stage).astype(np.float64) / MAX_U64
+
+
+def rank_col(key_col: str | Column, seed: int, stage: str) -> Column:
+    """JVM-side deterministic pseudo-random ranking column.
+
+    ``orderBy(rank_col(...)).limit(k)`` compiles to TakeOrderedAndProject —
+    a distributed top-k with no global shuffle — giving exact-k seeded
+    sampling that is independent of partitioning (SURVEY.md §4: replaces
+    R's `sample(candidate_ids, n)` e.g. `R/2_edit_distance_errors.R:16-19`).
+    """
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.xxhash64(F.lit(f"{seed}|{stage}"), c)
+
+
+def bernoulli_col(key_col: str | Column, seed: int, stage: str, rate: float) -> Column:
+    """JVM-side deterministic Bernoulli(rate) per row.
+
+    The 10^12-scale path for "fraction of rows get an error": binomially
+    equivalent to exact-k but requires no ranking at all (SURVEY.md §4
+    custom component 3).
+    """
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    u = (F.pmod(F.xxhash64(F.lit(f"{seed}|{stage}"), c), F.lit(1_000_000_000)).cast("double")
+         / F.lit(1_000_000_000.0))
+    return u < F.lit(float(rate))
