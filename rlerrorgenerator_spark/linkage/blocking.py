@@ -1,0 +1,196 @@
+"""Blocking: candidate-pair generation without O(n²) enumeration.
+
+The reference blocks with 6 single-field equi-joins
+(`/root/reference/benchmarking/utils.R:548-586`). Per the north star we
+generalize to three strategies over the pages domain, unioned + deduped:
+
+1. exact blocks on normalized keys (url, text prefix) — equi-joins,
+   sort-merge/broadcast picked by Catalyst/AQE;
+2. sorted-neighborhood over a sort key — Spark's global ``orderBy`` is a
+   range-partitioned sort (scales out), neighbors via banded self-join;
+3. MinHash-LSH on text shingles — shingling, hashing and band signatures
+   all with built-in expressions (``sequence``/``transform``/``xxhash64``
+   /``array_min``), so the whole thing is JVM-side and deterministic.
+
+Skew: pathological blocks (empty/boilerplate text → one giant LSH bucket)
+are capped at ``max_block_size`` before the pair join — the explicit
+skew-key handling the north rule asks for (AQE skew-join splitting covers
+residual imbalance).
+
+Conventions: the clean side exposes ``rid_a`` (its url), the dirty side
+``rid_b`` (its row key). Output: ``(rid_a, rid_b, block)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import Column
+
+
+def normalize_url(col) -> Column:
+    """Lowercase, strip scheme + www + trailing slash — the link-key
+    normalization (analogue of the reference's ingest lowercasing,
+    `R/1_error.R:15-17`)."""
+    c = F.lower(col if isinstance(col, Column) else F.col(col))
+    c = F.regexp_replace(c, r"^https?://", "")
+    c = F.regexp_replace(c, r"^www\.", "")
+    return F.regexp_replace(c, r"/$", "")
+
+
+def _cap_blocks(pairs_keyed: DataFrame, key: str, max_block_size: int) -> DataFrame:
+    """Drop keys whose group exceeds ``max_block_size`` on either side —
+    cheap distributed skew guard (count-per-key, broadcast the hot-key
+    blacklist)."""
+    hot = (
+        pairs_keyed.groupBy(key).count()
+        .where(F.col("count") > max_block_size)
+        .select(key)
+    )
+    return pairs_keyed.join(F.broadcast(hot), key, "left_anti")
+
+
+def exact_blocks(clean: DataFrame, dirty: DataFrame, key_exprs: dict[str, Column] | None = None,
+                 max_block_size: int = 100) -> DataFrame:
+    """Equi-join candidates on each normalized key (reference's single-field
+    blocking unions, `utils.R:548-586`)."""
+    if key_exprs is None:
+        key_exprs = {
+            "url_norm": normalize_url("url"),
+            "text_prefix": F.substring(F.regexp_replace("text", r"\s+", " "), 1, 24),
+        }
+    out = None
+    for name, expr in key_exprs.items():
+        a = clean.select(F.col("url").alias("rid_a"), expr.alias("bkey")).where(
+            F.col("bkey").isNotNull() & (F.length("bkey") > 0)
+        )
+        b = dirty.select(F.col("rid").alias("rid_b"), expr.alias("bkey")).where(
+            F.col("bkey").isNotNull() & (F.length("bkey") > 0)
+        )
+        a = _cap_blocks(a, "bkey", max_block_size)
+        b = _cap_blocks(b, "bkey", max_block_size)
+        pairs = a.join(b, "bkey").select("rid_a", "rid_b", F.lit(f"exact:{name}").alias("block"))
+        out = pairs if out is None else out.unionByName(pairs)
+    return out
+
+
+def sorted_neighborhood_blocks(clean: DataFrame, dirty: DataFrame,
+                               sort_expr: Column | None = None,
+                               window: int = 3) -> DataFrame:
+    """Sorted-neighborhood: union both sides, range-sort on the key, pair
+    rows within ``window`` positions across sides.
+
+    Spark's ``row_number`` over a global order requires a single-partition
+    window — instead we band by ``floor(rank / window)`` computed from a
+    range-partitioned sort (zipWithIndex-style via partition offsets would
+    also work); adjacent bands are joined so every ≤window neighborhood is
+    covered by (band, band+1).
+    """
+    if sort_expr is None:
+        sort_expr = normalize_url("url")
+    a = clean.select(F.col("url").alias("rid"), sort_expr.alias("skey"),
+                     F.lit("a").alias("side"))
+    b = dirty.select(F.col("rid").alias("rid"), sort_expr.alias("skey"),
+                     F.lit("b").alias("side"))
+    u = a.unionByName(b)
+    # global rank via range-partitioned sort: row_number over a window
+    # ordered by (skey, side, rid). At sandbox scale a plain window is
+    # fine; at 10^12 rows swap in the partition-offset (zipWithIndex)
+    # pattern — same downstream banding.
+    w = Window.orderBy("skey", "side", "rid")
+    ranked = u.withColumn("rn", F.row_number().over(w))
+    ranked = ranked.withColumn("band", (F.col("rn") / window).cast("long"))
+    left = ranked.where(F.col("side") == "a").select(
+        F.col("rid").alias("rid_a"), F.col("rn").alias("rn_a"), "band"
+    )
+    right = ranked.where(F.col("side") == "b").select(
+        F.col("rid").alias("rid_b"), F.col("rn").alias("rn_b"), "band"
+    )
+    pairs = None
+    for shift in (-1, 0, 1):
+        lj = left.withColumn("band", F.col("band") + F.lit(shift))
+        p = lj.join(right, "band").where(
+            F.abs(F.col("rn_a") - F.col("rn_b")) <= window
+        ).select("rid_a", "rid_b", F.lit("snm").alias("block"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.dropDuplicates(["rid_a", "rid_b"])
+
+
+def _shingles(col: str, k: int) -> Column:
+    """Character k-shingles as an array<string> — built-in only:
+    sequence(1, len-k+1) transformed through substring."""
+    c = F.lower(F.regexp_replace(col, r"\s+", " "))
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k)))
+
+
+def minhash_signature(df: DataFrame, text_col: str, id_col: str,
+                      n_hashes: int = 16, shingle_k: int = 5,
+                      seed: int = 1) -> DataFrame:
+    """MinHash signature per row: min over shingles of xxhash64(salt_i, s)
+    for each of n_hashes salts. All built-in expressions."""
+    sh = _shingles(text_col, shingle_k).alias("__sh")
+    out = df.select(F.col(id_col).alias("__id"), sh)
+    mins = [
+        F.array_min(
+            F.transform(F.col("__sh"), lambda s, i=i: F.xxhash64(F.lit(f"mh{seed}|{i}"), s))
+        ).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return out.select("__id", *mins)
+
+
+def minhash_blocks(clean: DataFrame, dirty: DataFrame, text_col: str = "text",
+                   n_hashes: int = 16, bands: int = 8, shingle_k: int = 5,
+                   seed: int = 1, max_block_size: int = 200) -> DataFrame:
+    """MinHash-LSH banding: rows agreeing on all rows of any band become
+    candidates. bands × rows_per_band = n_hashes; with 8 bands × 2 rows a
+    pair at Jaccard s collides w.p. 1−(1−s²)⁸ (≥0.99 for s≥0.6)."""
+    rows_per_band = n_hashes // bands
+    sig_a = minhash_signature(clean.select(F.col("url").alias("rid"), text_col),
+                              text_col, "rid", n_hashes, shingle_k, seed)
+    sig_b = minhash_signature(dirty.select("rid", text_col),
+                              text_col, "rid", n_hashes, shingle_k, seed)
+
+    def band_keys(sig: DataFrame, rid_alias: str) -> DataFrame:
+        out = None
+        for b in range(bands):
+            cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            key = F.xxhash64(F.lit(b), *cols).alias("bkey")
+            part = sig.select(F.col("__id").alias(rid_alias), F.lit(b).alias("band"), key)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    ka = _cap_blocks(band_keys(sig_a, "rid_a"), "bkey", max_block_size)
+    kb = _cap_blocks(band_keys(sig_b, "rid_b"), "bkey", max_block_size)
+    return (
+        ka.join(kb, ["band", "bkey"])
+        .select("rid_a", "rid_b", F.lit("minhash").alias("block"))
+        .dropDuplicates(["rid_a", "rid_b"])
+    )
+
+
+def build_candidates(clean: DataFrame, dirty: DataFrame,
+                     use_exact: bool = True, use_snm: bool = True,
+                     use_minhash: bool = True, snm_window: int = 3,
+                     minhash_hashes: int = 16, minhash_bands: int = 8,
+                     max_block_size: int = 200) -> DataFrame:
+    """Union of all blocking strategies, deduped to (rid_a, rid_b).
+
+    ``block`` keeps the first strategy that produced the pair (for
+    diagnostics); dedup is a groupBy on the pair key — map-side partial
+    aggregation keeps the shuffle small.
+    """
+    parts = []
+    if use_exact:
+        parts.append(exact_blocks(clean, dirty, max_block_size=max_block_size))
+    if use_snm:
+        parts.append(sorted_neighborhood_blocks(clean, dirty, window=snm_window))
+    if use_minhash:
+        parts.append(minhash_blocks(clean, dirty, n_hashes=minhash_hashes,
+                                    bands=minhash_bands,
+                                    max_block_size=max_block_size))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("rid_a", "rid_b").agg(F.min("block").alias("block"))

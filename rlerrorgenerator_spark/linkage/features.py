@@ -1,0 +1,134 @@
+"""Pairwise feature extraction + deterministic match scoring.
+
+Reference: ``add_feature_vector`` (`/root/reference/benchmarking/utils.R:189-311`)
+computes 23 ``metric_*`` features per candidate pair (name dl/jw/soundex
+distances, dob component distances, swap flags, gender/race composition),
+then a trained model thresholds match probability at 0.5
+(`utils.R:362-364,1006`). The reference's own threshold features
+(`utils.R:606-617`: jw<0.15 per name + ≥2 dob component agreements) show
+the shape a deterministic scorer needs — that is what we ship (ML
+optional, not required by the north rule).
+
+Pages-domain feature family (SURVEY.md §7.5):
+
+- jw + normalized-lev on the normalized url (name analogue);
+- normalized-lev on a text prefix + token Jaccard on text (content);
+- length ratio, lang equality (the gender/race-style categorical);
+- warc_ts delta in days (dob analogue).
+
+Everything except JW is built-in (codegen); JW is one Arrow-batched
+pandas UDF over the (already blocked) pair table. At 100 TB the pair
+table is repartitioned on the blocking key first so each Arrow batch is
+one block (`SURVEY.md §4`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rlerrorgenerator_spark.functions.similarity import jaro_winkler_udf, norm_levenshtein
+from rlerrorgenerator_spark.linkage.blocking import normalize_url
+
+PAIR_COLS = ["url", "text", "lang", "warc_ts"]
+TEXT_PREFIX = 64
+
+
+def attach_pair_attrs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame) -> DataFrame:
+    """Widen (rid_a, rid_b) with _a/_b suffixed attributes — the
+    reference's ``attach_dbs_to_ids`` (`utils.R:152-162`)."""
+    a = clean.select(
+        F.col("url").alias("rid_a"),
+        *[F.col(c).alias(f"{c}_a") for c in PAIR_COLS],
+    )
+    b = dirty.select(
+        F.col("rid").alias("rid_b"),
+        *[F.col(c).alias(f"{c}_b") for c in PAIR_COLS],
+    )
+    return candidates.join(a, "rid_a").join(b, "rid_b")
+
+
+def add_features(pairs: DataFrame) -> DataFrame:
+    """Compute the metric_* columns on a widened pair table."""
+    un_a, un_b = normalize_url("url_a"), normalize_url("url_b")
+    tp_a = F.substring(F.coalesce("text_a", F.lit("")), 1, TEXT_PREFIX)
+    tp_b = F.substring(F.coalesce("text_b", F.lit("")), 1, TEXT_PREFIX)
+    tok_a = F.array_distinct(F.split(F.coalesce("text_a", F.lit("")), r"\s+"))
+    tok_b = F.array_distinct(F.split(F.coalesce("text_b", F.lit("")), r"\s+"))
+    inter = F.size(F.array_intersect(tok_a, tok_b)).cast("double")
+    union = F.size(F.array_union(tok_a, tok_b)).cast("double")
+    return (
+        pairs.withColumn("metric_url_jw", jaro_winkler_udf(un_a, un_b))
+        .withColumn("metric_url_lev", norm_levenshtein(un_a, un_b))
+        .withColumn("metric_url_lev_abs", F.levenshtein(un_a, un_b).cast("double"))
+        .withColumn("metric_text_lev", norm_levenshtein(tp_a, tp_b))
+        # swap-flag analogue (`utils.R:250-254` fname↔lname swap): does the
+        # dirty row's lang field hold the clean row's text?
+        .withColumn(
+            "metric_swap_lev",
+            norm_levenshtein(tp_a, F.substring(F.coalesce("lang_b", F.lit("")), 1, TEXT_PREFIX)),
+        )
+        .withColumn(
+            "metric_text_jaccard",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "metric_len_ratio",
+            F.least(F.length("text_a"), F.length("text_b")).cast("double")
+            / F.greatest(F.length("text_a"), F.length("text_b"), F.lit(1)).cast("double"),
+        )
+        .withColumn(
+            "metric_lang_eq",
+            F.when(F.col("lang_a").isNull() | F.col("lang_b").isNull(), 0.5)
+            .when(F.col("lang_a") == F.col("lang_b"), 1.0)
+            .otherwise(0.0),
+        )
+        .withColumn(
+            "metric_ts_days",
+            F.abs(
+                F.unix_timestamp("warc_ts_a") - F.unix_timestamp("warc_ts_b")
+            ).cast("double")
+            / F.lit(86400.0),
+        )
+    )
+
+
+def add_match_prob(feat: DataFrame) -> DataFrame:
+    """Deterministic weighted score in [0,1], thresholded at 0.5 like the
+    reference's model output (`utils.R:362-364`).
+
+    Weights follow the reference's threshold-feature shape
+    (`utils.R:606-617`): strong url agreement + strong content agreement
+    ⇒ match; categorical (lang) and ts act as soft evidence. Design notes:
+
+    - url similarity uses *absolute* edit distance (injected url errors
+      are 1-2 edits; JW saturates on long shared url prefixes and cannot
+      separate sibling pages of one host);
+    - content similarity is the max over direct text similarity, token
+      Jaccard, and the swap-repair similarity (text_a vs lang_b) so
+      ``swap_fields``-errored rows still link.
+    """
+    url_sim = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.col("metric_url_lev_abs") / F.lit(3.0)
+    )
+    content_sim = F.greatest(
+        F.lit(1.0) - F.col("metric_text_lev"),
+        F.col("metric_text_jaccard"),
+        F.lit(1.0) - F.col("metric_swap_lev"),
+    )
+    ts_sim = F.lit(1.0) / (F.lit(1.0) + F.col("metric_ts_days") / F.lit(30.0))
+    score = (
+        F.lit(0.35) * url_sim
+        + F.lit(0.55) * content_sim
+        + F.lit(0.05) * F.col("metric_lang_eq")
+        + F.lit(0.05) * ts_sim
+    )
+    return feat.withColumn("match_prob", score).withColumn(
+        "prediction", (F.col("match_prob") > 0.5).cast("boolean")
+    )
+
+
+def score_pairs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame) -> DataFrame:
+    """candidates (rid_a, rid_b, block) → scored pairs with metric_* +
+    match_prob + prediction."""
+    return add_match_prob(add_features(attach_pair_attrs(candidates, clean, dirty)))

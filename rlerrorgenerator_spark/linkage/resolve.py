@@ -1,0 +1,94 @@
+"""Resolution: 1-to-1 best links + transitive clustering.
+
+- ``find_best_links``: the reference's windowed "odds" logic
+  (`/root/reference/benchmarking/utils.R:426-470`): within each left id,
+  rank by prob desc; accept the top pair if its margin over the runner-up
+  exceeds ``odds``; then keep only 1-to-1 links (`utils.R:368-389`).
+- ``connected_components``: the reference stops at 1-to-1 links; the
+  north rule adds transitive clustering — iterative hash-to-min CC
+  ("Finding connected components in MapReduce in logarithmic rounds",
+  ICDE 2013, see PAPERS.md): every node repeatedly adopts the min label
+  in its neighborhood; rounds are O(log d). Each round checkpoints
+  (plan truncation) and a convergence count() gates the loop. Skew: the
+  min-label aggregation is a groupBy — AQE skew-split handles hot
+  components; for pathological stars pre-salt by splitting ``key ||
+  hash(id)%k`` (documented; our benchmark graphs are duplicate-clusters
+  of size ≤ 4, so depth 2-3 suffices).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def find_best_links(scored: DataFrame, odds: float = 0.4,
+                    prob_col: str = "match_prob",
+                    threshold: float = 0.5) -> DataFrame:
+    """Accepted, 1-to-1 resolved links (rid_a, rid_b, match_prob)."""
+    acc = scored.where(F.col(prob_col) > threshold).select("rid_a", "rid_b", prob_col)
+    wa = Window.partitionBy("rid_a").orderBy(F.desc(prob_col), "rid_b")
+    acc = (
+        acc.withColumn("rk", F.row_number().over(wa))
+        .withColumn("nxt", F.lead(prob_col).over(wa))
+        .where(
+            (F.col("rk") == 1)
+            & (F.col("nxt").isNull() | ((F.col(prob_col) - F.col("nxt")) > odds))
+        )
+        .drop("rk", "nxt")
+    )
+    # 1-to-1: each rid_b may keep only its single best accepted rid_a
+    wb = Window.partitionBy("rid_b").orderBy(F.desc(prob_col), "rid_a")
+    return acc.withColumn("rk", F.row_number().over(wb)).where(F.col("rk") == 1).drop("rk")
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(src, dst) string edges → (id, component) with component = min id.
+
+    Hash-to-min: labels ← min(own, min over neighbors); iterate to fixed
+    point. Deterministic (min on string ids). Each round localCheckpoints
+    to truncate lineage; convergence via a changed-count action.
+    """
+    sym = edges.select(F.col("src"), F.col("dst")).unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    labels = nodes.withColumn("component", F.col("id"))
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy(F.col("src").alias("id2"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["id2"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("nbr_component", F.col("component")) < F.col("component")
+                 ).alias("__changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.where("__changed").count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def clusters_from_links(links: DataFrame, all_ids: DataFrame | None = None) -> DataFrame:
+    """Accepted links → (id, cluster_id) via transitive closure; isolated
+    ids (no accepted link) become singleton clusters when ``all_ids``
+    (1-column) is given."""
+    edges = links.select(F.col("rid_a").alias("src"), F.col("rid_b").alias("dst"))
+    comp = connected_components(edges)
+    if all_ids is not None:
+        ids = all_ids.toDF("id")
+        comp = ids.join(comp, "id", "left").select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+    return comp.withColumnRenamed("component", "cluster_id")

@@ -1,0 +1,112 @@
+"""End-to-end record-linkage benchmark pipeline.
+
+The Spark-first re-expression of the reference's
+``generate_pairs_for_county`` flow (`/root/reference/benchmarking/utils.R:1282-1360`
++ `paper_flow_dob_latest.Rmd:58-93`, SURVEY.md §3.2):
+
+  synth clean pages → inject errors (mess_data) → block → score →
+  label (from lineage) → metrics → resolve 1-to-1 → transitive clusters
+
+Every stage can persist through a CheckpointManager (resume = stage skip),
+matching the north rule's "resumable from checkpoint with per-partition
+lineage + metrics".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rlerrorgenerator_spark.checkpoint import CheckpointManager
+from rlerrorgenerator_spark.linkage.blocking import build_candidates
+from rlerrorgenerator_spark.linkage.features import score_pairs
+from rlerrorgenerator_spark.linkage.metrics import (
+    label_pairs,
+    pairwise_metrics,
+    per_partition_metrics,
+)
+from rlerrorgenerator_spark.linkage.resolve import clusters_from_links, find_best_links
+from rlerrorgenerator_spark.operators import ErrorConfigRow, mess_data
+from rlerrorgenerator_spark.sources.pages import prep_pages, synth_pages
+
+
+def default_error_config(include_row_ops: bool = True) -> list[ErrorConfigRow]:
+    """Representative program (FIXTURES.md §4; rates from the reference's
+    `exta/error_table2.csv`)."""
+    cfg = [
+        ErrorConfigRow("indel", 0.05, ["text"]),
+        ErrorConfigRow("repl", 0.05, ["text"], {"charset": "keyboard"}),
+        ErrorConfigRow("tpose", 0.05, ["text"]),
+        ErrorConfigRow("repl", 0.05, ["url"], {"charset": "ocr"}),
+        ErrorConfigRow("swap_fields", 0.02, ["text", "lang"]),
+        ErrorConfigRow("make_missing", 0.017, ["lang"]),
+        ErrorConfigRow("date_replace", 0.03, ["warc_ts"], {"token": "day"}),
+    ]
+    if include_row_ops:
+        cfg += [
+            ErrorConfigRow("add_duplicates", 0.02, []),
+            ErrorConfigRow("add_near_duplicates", 0.02, []),
+        ]
+    return cfg
+
+
+@dataclass
+class LinkageResult:
+    clean: DataFrame
+    dirty: DataFrame
+    lineage: DataFrame
+    candidates: DataFrame
+    scored: DataFrame
+    labeled: DataFrame
+    metrics: DataFrame
+    links: DataFrame
+    clusters: DataFrame
+    extras: dict = field(default_factory=dict)
+
+
+def run_linkage(
+    spark: SparkSession,
+    n_rows: int = 2000,
+    seed: int = 42,
+    config: list[ErrorConfigRow] | None = None,
+    pages: DataFrame | None = None,
+    ckpt_dir: str | None = None,
+    use_minhash: bool = True,
+    compute_clusters: bool = True,
+) -> LinkageResult:
+    """Full benchmark run; returns every stage as a DataFrame."""
+    ckpt = CheckpointManager(spark, ckpt_dir)
+    if pages is None:
+        pages = synth_pages(spark, n_rows, seed=seed)
+    clean = ckpt.stage(prep_pages(pages), "clean")
+    cfg = config or default_error_config()
+    dirty, lineage = mess_data(clean, cfg, seed=seed, ckpt=ckpt)
+    candidates = ckpt.stage(
+        build_candidates(clean, dirty, use_minhash=use_minhash), "candidates"
+    )
+    scored = ckpt.stage(score_pairs(candidates, clean, dirty), "scored")
+    labeled = ckpt.stage(label_pairs(scored, dirty), "labeled")
+    metrics = pairwise_metrics(labeled)
+    links = find_best_links(scored)
+    if compute_clusters:
+        all_ids = clean.select(F.col("url").alias("id")).unionByName(
+            dirty.select(F.col("rid").alias("id"))
+        )
+        # transitive closure consumes ALL accepted pairs — the 1-to-1
+        # odds filter (reference semantics, for 1-1 datasets) would break
+        # duplicate clusters, where one clean row rightly matches several
+        # dirty rows with near-equal probability.
+        accepted = scored.where(F.col("prediction")).select("rid_a", "rid_b", "match_prob")
+        clusters = clusters_from_links(accepted, all_ids)
+    else:
+        clusters = links.select(
+            F.col("rid_a").alias("id"), F.col("rid_a").alias("cluster_id")
+        ).limit(0)
+    extras = {"partition_metrics": per_partition_metrics(labeled)}
+    return LinkageResult(
+        clean=clean, dirty=dirty, lineage=lineage, candidates=candidates,
+        scored=scored, labeled=labeled, metrics=metrics, links=links,
+        clusters=clusters, extras=extras,
+    )
