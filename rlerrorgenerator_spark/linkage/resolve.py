@@ -51,30 +51,38 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """
     sym = edges.select(F.col("src"), F.col("dst")).unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
     )
-    nodes = sym.select(F.col("src").alias("id")).distinct()
-    labels = nodes.withColumn("component", F.col("id"))
-    sym = sym.localCheckpoint(eager=True)
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["dst"] == labels["id"])
-            .groupBy(F.col("src").alias("id2"))
-            .agg(F.min("component").alias("nbr_component"))
+        # 1) hash-to-min message pass: every node adopts the min component
+        #    seen across its neighborhood
+        msgs = sym.join(labels, sym["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("component")
         )
-        new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["id2"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
-                (F.coalesce("nbr_component", F.col("component")) < F.col("component")
-                 ).alias("__changed"),
-            )
+        prop = (
+            msgs.unionByName(labels.select("id", "component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.where("__changed").count()
-        labels = new_labels.drop("__changed")
+        # 2) pointer jumping: component ← component's component. This is
+        #    what makes convergence logarithmic in the longest path (the
+        #    "min" alone walks one hop per round).
+        rep = prop.select(F.col("id").alias("rep_id"), F.col("component").alias("rep_comp"))
+        jumped = (
+            prop.join(rep, prop["component"] == rep["rep_id"], "left")
+            .select("id", F.coalesce("rep_comp", F.col("component")).alias("component"))
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = (
+            jumped.join(labels.withColumnRenamed("component", "old"), "id")
+            .where(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = jumped
         if changed == 0:
             break
     return labels

@@ -194,5 +194,11 @@ def calibrate_error_rate(
         last = (dirty, lineage, err_mult)
         if realized >= e_target:
             return last
-        err_mult += err_mult_inc
+        # ratio-adaptive step (the reference bumps by a fixed 0.01/iter,
+        # `utils.R:707`, which needs many regenerations; scaling by the
+        # observed shortfall converges in 1-2 extra runs)
+        err_mult = max(
+            err_mult * e_target / max(realized, 1e-9) * 1.05,
+            err_mult + err_mult_inc,
+        )
     return last

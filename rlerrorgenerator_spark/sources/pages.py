@@ -74,8 +74,10 @@ def _render_html(title: str, body: str) -> bytes:
     ).encode("utf-8")
 
 
-def _rows_for_ids(ids: np.ndarray, seed: int) -> pd.DataFrame:
-    n_hosts = max(8, int(len(ids) ** 0.5)) if len(ids) else 8
+def _rows_for_ids(ids: np.ndarray, seed: int, n_total: int) -> pd.DataFrame:
+    # host count derives from the TOTAL row count (never the batch size —
+    # that would make output depend on partitioning)
+    n_hosts = max(8, int(n_total ** 0.5))
     urls, tss, htmls, texts, langs = [], [], [], [], []
     for i in ids:
         rng = np.random.default_rng((int(i) << 20) ^ (seed * 0x9E3779B9 & 0xFFFFFFFF))
@@ -118,7 +120,7 @@ def synth_pages(spark: SparkSession, n: int, seed: int = 42, partitions: int | N
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            yield _rows_for_ids(b["id"].to_numpy(), seed)
+            yield _rows_for_ids(b["id"].to_numpy(), seed, n)
 
     return (
         spark.range(0, n, numPartitions=partitions)

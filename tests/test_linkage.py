@@ -1,0 +1,125 @@
+"""Linkage pipeline tests (SURVEY.md §5.5-5.7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rlerrorgenerator_spark.functions.similarity import jaro_winkler
+from rlerrorgenerator_spark.linkage.resolve import connected_components, find_best_links
+from rlerrorgenerator_spark.pipeline import default_error_config, run_linkage
+
+
+def test_jaro_winkler_known_values():
+    # canonical JW examples (winkler p=0.1)
+    assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611, abs=1e-3)
+    assert jaro_winkler("dwayne", "duane") == pytest.approx(0.84, abs=1e-2)
+    assert jaro_winkler("dixon", "dicksonx") == pytest.approx(0.8133, abs=1e-3)
+    assert jaro_winkler("abc", "abc") == 1.0
+    assert jaro_winkler("abc", "xyz") == 0.0
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "s")],
+        ["src", "dst"],
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert comp["p"] == comp["q"] == comp["r"] == comp["s"] == "p"
+
+
+def test_connected_components_long_chain(spark):
+    # chain of 33 nodes → needs several hash-to-min rounds
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(32)], ["src", "dst"]
+    )
+    comp = connected_components(edges)
+    assert comp.select("component").distinct().count() == 1
+
+
+def test_find_best_links_one_to_one(spark):
+    scored = spark.createDataFrame(
+        [
+            ("a1", "b1", 0.95),  # clear best
+            ("a1", "b2", 0.40),
+            ("a2", "b2", 0.90),  # a2's margin over runner-up is small → rejected
+            ("a2", "b3", 0.85),
+            ("a3", "b3", 0.99),
+        ],
+        ["rid_a", "rid_b", "match_prob"],
+    )
+    links = {(r.rid_a, r.rid_b) for r in find_best_links(scored, odds=0.4).collect()}
+    assert ("a1", "b1") in links
+    assert ("a3", "b3") in links
+    assert all(a != "a2" for a, _ in links)
+
+
+@pytest.fixture(scope="module")
+def linkage_result(spark):
+    return run_linkage(spark, n_rows=800, seed=42)
+
+
+def test_blocking_recall(linkage_result):
+    res = linkage_result
+    truth = res.dirty.select(
+        F.col("rid").alias("rid_b"), F.col("orig_url").alias("rid_a")
+    )
+    n_truth = truth.count()
+    found = truth.join(res.candidates, ["rid_a", "rid_b"], "left_semi").count()
+    assert found / n_truth >= 0.99
+
+
+def test_end_to_end_f1(linkage_result):
+    m = linkage_result.metrics.collect()[0]
+    assert m.f1 >= 0.99, f"pairwise F1 {m.f1} < 0.99 (tp={m.tp} fp={m.fp} fn={m.fn})"
+    assert m.brier < 0.1
+
+
+def test_clusters_match_ground_truth(linkage_result):
+    res = linkage_result
+    cl = res.clusters
+    truth = res.dirty.select(F.col("rid").alias("id"), "orig_url")
+    j = (
+        truth.join(cl, "id")
+        .withColumnRenamed("cluster_id", "c_dirty")
+        .join(
+            cl.withColumnRenamed("id", "orig_url").withColumnRenamed("cluster_id", "c_clean"),
+            "orig_url",
+        )
+    )
+    bad = j.where(F.col("c_dirty") != F.col("c_clean")).count()
+    assert bad / truth.count() <= 0.01
+
+
+@pytest.mark.parametrize("e_target", [0.1, 0.3])
+def test_f1_across_error_rates(spark, e_target):
+    """F1 ≥ 0.99 as error rate grows (reference grid 0→0.6,
+    `paper_flow_dob_latest.Rmd:60`; we spot-check two points)."""
+    from rlerrorgenerator_spark.operators import ErrorConfigRow
+
+    cfg = [
+        ErrorConfigRow("indel", e_target / 2, ["text"]),
+        ErrorConfigRow("repl", e_target / 2, ["text"], {"charset": "keyboard"}),
+        ErrorConfigRow("repl", e_target / 3, ["url"]),
+        ErrorConfigRow("make_missing", e_target / 5, ["lang"]),
+    ]
+    res = run_linkage(spark, n_rows=400, seed=17, config=cfg)
+    m = res.metrics.collect()[0]
+    assert m.f1 >= 0.99, f"e={e_target}: F1={m.f1}"
+
+
+def test_resume_from_checkpoint(spark, tmp_path):
+    """North rule: any stage resumes mid-run — rerunning with the same
+    checkpoint dir must reuse stage outputs and reproduce results."""
+    d = str(tmp_path / "ck")
+    r1 = run_linkage(spark, n_rows=300, seed=9, ckpt_dir=d, compute_clusters=False)
+    m1 = r1.metrics.collect()[0]
+    # second run resumes: stages all exist → identical outputs
+    r2 = run_linkage(spark, n_rows=300, seed=9, ckpt_dir=d, compute_clusters=False)
+    m2 = r2.metrics.collect()[0]
+    assert (m1.tp, m1.fp, m1.fn, m1.f1) == (m2.tp, m2.fp, m2.fn, m2.f1)
+    s1 = sorted(map(tuple, r1.scored.select("rid_a", "rid_b", "match_prob").collect()))
+    s2 = sorted(map(tuple, r2.scored.select("rid_a", "rid_b", "match_prob").collect()))
+    assert s1 == s2
