@@ -1,0 +1,116 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All built-in Catalyst expressions (JVM, codegen) so every operator both
+scales and has an exact DuckDB oracle: token counting, quality scoring,
+marker-based language ID, document fingerprinting.
+
+Domain shared with the linkage engine: the ``documents`` test table
+(doc_id, text, lang, source, n_chars) or any table with a text column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to"]
+
+# marker tokens per language for the cheap n-gram-free language-ID
+# heuristic; deterministic argmax with 'en' > 'de' > 'es' > 'fr' tie order.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "es": ["el", "los", "y", "que", "una"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization — single-space split to stay oracle-exact
+    with DuckDB's string_split."""
+    return F.split(col if isinstance(col, Column) else F.col(col), " ")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def norm_text(col) -> Column:
+    """lower + whitespace squish — the canonical form for fingerprints."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (A content-defined rolling-hash variant lives in ``simhash`` /
+    ``minhash`` for near-dup use; md5 is the exact-dup key.)"""
+    return F.md5(norm_text(col))
+
+
+def marker_count(col, markers: list[str]) -> Column:
+    toks = tokens(col)
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def langid(col) -> Column:
+    """Argmax over per-language marker-token counts; 'und' when no marker
+    hits. Deterministic tie-break = dict order above."""
+    counts = {lang: marker_count(col, m) for lang, m in LANG_MARKERS.items()}
+    best_lang = F.lit("und")
+    best_n = F.lit(0)
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        n = counts[lang]
+        best_lang = F.when(n >= F.greatest(best_n, F.lit(1)), F.lit(lang)).otherwise(best_lang)
+        best_n = F.greatest(best_n, n)
+    return best_lang
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features
+    (training-data quality scoring)."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    sw = marker_count(c, STOPWORDS)
+    n_punct = F.length(F.regexp_replace(c, r"[a-z0-9 ]", ""))
+    return (
+        df.withColumn("q_chars", n_chars.cast("long"))
+        .withColumn("q_tokens", n_tokens.cast("long"))
+        .withColumn(
+            "q_avg_token_len",
+            F.round((n_chars - (n_tokens - 1)).cast("double")
+                    / F.greatest(n_tokens, F.lit(1)).cast("double"), 6),
+        )
+        .withColumn(
+            "q_stopword_ratio",
+            F.round(sw.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double"), 6),
+        )
+        .withColumn(
+            "q_punct_ratio",
+            F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"), 6),
+        )
+        .withColumn(
+            "q_score",
+            F.round(
+                F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0)) * 0.5
+                + F.least(sw.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double") * 5, F.lit(1.0)) * 0.3
+                + (F.lit(1.0) - F.least(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double") * 10, F.lit(1.0))) * 0.2,
+                6,
+            ),
+        )
+    )
+
+
+def word_shingles(col, k: int = 5) -> Column:
+    """k-word shingles as array<string> (the near-dup unit for n-gram
+    Jaccard and MinHash) — built-in only: slice over the token array."""
+    toks = tokens(col)
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )

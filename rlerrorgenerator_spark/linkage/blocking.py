@@ -131,13 +131,15 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
     for each of n_hashes salts. All built-in expressions."""
     sh = _shingles(text_col, shingle_k).alias("__sh")
     out = df.select(F.col(id_col).alias("__id"), sh)
-    mins = [
-        F.array_min(
-            F.transform(F.col("__sh"), lambda s, i=i: F.xxhash64(F.lit(f"mh{seed}|{i}"), s))
-        ).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
-    return out.select("__id", *mins)
+    def mh(i: int):
+        # salt bound outside the lambda (2-arg lambdas receive the array
+        # index as second arg in pyspark's transform)
+        salt = f"mh{seed}|{i}"
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda s: F.xxhash64(F.lit(salt), s))
+        )
+
+    return out.select("__id", *[mh(i).alias(f"mh_{i}") for i in range(n_hashes)])
 
 
 def minhash_blocks(clean: DataFrame, dirty: DataFrame, text_col: str = "text",

@@ -128,6 +128,29 @@ def synth_pages(spark: SparkSession, n: int, seed: int = 42, partitions: int | N
     )
 
 
+def pages_from_documents(docs: DataFrame) -> DataFrame:
+    """Adapt the driver's ``documents`` table (doc_id, text, lang, source,
+    n_chars — TESTDATA.md) into the pages schema, deterministically:
+    url from (source, doc_id), warc_ts from doc_id, html a tag wrapper
+    whose ``extract_text`` equals the text column (input_hint invariant)."""
+    text = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    html_str = F.concat(
+        F.lit("<html><body><p>"), text, F.lit("</p></body></html>")
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("doc_id") % 31536000)
+        ).alias("warc_ts"),
+        F.encode(html_str, "utf-8").alias("html"),
+        text.alias("text"),
+        F.col("lang"),
+    )
+
+
 def prep_pages(pages: DataFrame) -> DataFrame:
     """Analogue of the reference's ``prep_data`` (`R/1_error.R:3-26`):
     lowercase string link fields + stamp ``file`` and the stable row key.
