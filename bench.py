@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries on ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) at ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+The headline metric is end-to-end wall time; ``queries`` carries
+per-query seconds plus the north-rule evidence:
+
+- ``er_pipeline``: the flagship linkage run (inject → block → score →
+  metrics) — its throughput in candidate-pairs/sec is reported under
+  ``pairs_per_sec``;
+- scaling efficiency: the same ER pipeline run at local[N] and local[4N]
+  (N = max(2, CPUS//4)) on the same input;
+  ``scaling_efficiency = T_N / (4 × T_4N) × ... `` i.e.
+  throughput(4N) / (4 × throughput(N)) — the sandbox proxy for N→4N
+  executors (driver note). Skipped when SPARK_GRAFT_BENCH_SCALING=0.
+
+Usage: python bench.py [--sf-dir DIR] [--no-scaling]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _fresh_spark(cores: int, shuffle_parts: int | None = None):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    # SparkContext master can't change within a JVM; run scaling points in
+    # subprocesses (see _run_er_subprocess) — this helper is for the main
+    # query timings only.
+    from rlerrorgenerator_spark.session import get_spark
+
+    s = get_spark(app_name=f"bench-{cores}", cores=cores,
+                  shuffle_partitions=shuffle_parts or max(cores, 8))
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _run_er_pipeline(spark, sf_dir: str) -> dict:
+    """One full linkage run over pages derived from the documents table;
+    returns timings + candidate-pair count."""
+    from pyspark.sql import functions as F
+
+    from rlerrorgenerator_spark.pipeline import run_linkage
+    from rlerrorgenerator_spark.sources.pages import pages_from_documents
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pages = pages_from_documents(docs)
+    t0 = time.time()
+    res = run_linkage(spark, pages=pages, seed=42, compute_clusters=True)
+    n_candidates = res.candidates.count()
+    m = res.metrics.collect()[0]
+    res.clusters.count()
+    elapsed = time.time() - t0
+    return {
+        "sec": elapsed,
+        "n_candidates": n_candidates,
+        "pairs_per_sec": n_candidates / elapsed if elapsed else 0.0,
+        "f1": m.f1,
+    }
+
+
+_SCALING_SNIPPET = r"""
+import json, sys, time
+sf_dir, cores = sys.argv[1], int(sys.argv[2])
+import os
+os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+from rlerrorgenerator_spark.session import get_spark
+spark = get_spark(app_name=f"bench-scale-{cores}", cores=cores)
+spark.sparkContext.setLogLevel("ERROR")
+from bench import _run_er_pipeline
+out = _run_er_pipeline(spark, sf_dir)
+print("BENCHJSON:" + json.dumps(out))
+"""
+
+
+def _run_er_subprocess(sf_dir: str, cores: int) -> dict:
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCALING_SNIPPET, sf_dir, str(cores)],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCHJSON:"):
+            return json.loads(line[len("BENCHJSON:"):])
+    raise RuntimeError(f"scaling run at {cores} cores failed:\n{proc.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                                       "/root/testdata/sf0.1"))
+    ap.add_argument("--no-scaling", action="store_true")
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    import __spark_entry__ as entry_mod
+
+    spark = _fresh_spark(cpus)
+    queries: dict[str, float] = {}
+    headline = [
+        "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+        "events_type_stats", "top_users_by_value",
+        "doc_quality", "doc_langid", "dup_exact_groups", "dup_ngram_jaccard",
+        "dup_minhash", "dup_simhash", "ann_cosine_topk",
+    ]
+    qmap = entry_mod.queries()
+    for name in headline:
+        t0 = time.time()
+        df = qmap[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    er = _run_er_pipeline(spark, sf_dir)
+    queries["er_pipeline"] = round(er["sec"], 3)
+
+    scaling = {}
+    do_scaling = (not args.no_scaling
+                  and os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0")
+    if do_scaling:
+        spark.stop()
+        n_small = max(2, cpus // 4)
+        lo = _run_er_subprocess(sf_dir, n_small)
+        hi = _run_er_subprocess(sf_dir, cpus if cpus >= 4 * n_small else 4 * n_small)
+        eff = hi["pairs_per_sec"] / (4.0 * lo["pairs_per_sec"]) if lo["pairs_per_sec"] else 0.0
+        scaling = {
+            "cores_low": n_small,
+            "cores_high": max(cpus, 4 * n_small),
+            "pairs_per_sec_low": round(lo["pairs_per_sec"], 1),
+            "pairs_per_sec_high": round(hi["pairs_per_sec"], 1),
+            "scaling_efficiency": round(eff, 3),
+        }
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "end_to_end_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "er_candidate_pairs": er["n_candidates"],
+        "er_pairs_per_sec": round(er["pairs_per_sec"], 1),
+        "er_f1": round(er["f1"], 6),
+        **({"scaling": scaling} if scaling else {}),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

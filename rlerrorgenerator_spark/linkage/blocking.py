@@ -33,7 +33,10 @@ def normalize_url(col) -> Column:
     normalization (analogue of the reference's ingest lowercasing,
     `R/1_error.R:15-17`)."""
     c = F.lower(col if isinstance(col, Column) else F.col(col))
-    c = F.regexp_replace(c, r"^https?://", "")
+    # strip ANY scheme-shaped prefix, not just literal http(s) — injected
+    # char errors can land inside the scheme ("hftps://...") and a strict
+    # regex would leave the whole prefix in the comparison
+    c = F.regexp_replace(c, r"^[a-z0-9]{2,8}://", "")
     c = F.regexp_replace(c, r"^www\.", "")
     return F.regexp_replace(c, r"/$", "")
 
@@ -117,11 +120,12 @@ def sorted_neighborhood_blocks(clean: DataFrame, dirty: DataFrame,
 
 
 def _shingles(col: str, k: int) -> Column:
-    """Character k-shingles as an array<string> — built-in only:
-    sequence(1, len-k+1) transformed through substring."""
-    c = F.lower(F.regexp_replace(col, r"\s+", " "))
-    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
-    return F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k)))
+    """Word k-shingles (array<string>), built-in only. Word shingles (not
+    char n-grams) keep MinHash selective on templated/small-vocabulary
+    corpora — char 5-grams collide across unrelated pages there."""
+    from rlerrorgenerator_spark.functions.textops import word_shingles
+
+    return word_shingles(F.lower(F.regexp_replace(col, r"\s+", " ")), max(2, k - 1))
 
 
 def minhash_signature(df: DataFrame, text_col: str, id_col: str,

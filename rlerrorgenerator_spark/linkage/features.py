@@ -53,14 +53,30 @@ def add_features(pairs: DataFrame) -> DataFrame:
     un_a, un_b = normalize_url("url_a"), normalize_url("url_b")
     tp_a = F.substring(F.coalesce("text_a", F.lit("")), 1, TEXT_PREFIX)
     tp_b = F.substring(F.coalesce("text_b", F.lit("")), 1, TEXT_PREFIX)
-    tok_a = F.array_distinct(F.split(F.coalesce("text_a", F.lit("")), r"\s+"))
-    tok_b = F.array_distinct(F.split(F.coalesce("text_b", F.lit("")), r"\s+"))
+    # word-SHINGLE Jaccard, not unigram: corpora with small vocabularies
+    # (e.g. templated/boilerplate web text) make unigram sets collide on
+    # unrelated documents; 4-word shingles encode order and stay ~0 for
+    # non-matches while 1-2 char edits only break a handful of shingles.
+    from rlerrorgenerator_spark.functions.textops import word_shingles
+
+    tok_a = word_shingles(F.coalesce("text_a", F.lit("")), 4)
+    tok_b = word_shingles(F.coalesce("text_b", F.lit("")), 4)
     inter = F.size(F.array_intersect(tok_a, tok_b)).cast("double")
     union = F.size(F.array_union(tok_a, tok_b)).cast("double")
     return (
         pairs.withColumn("metric_url_jw", jaro_winkler_udf(un_a, un_b))
         .withColumn("metric_url_lev", norm_levenshtein(un_a, un_b))
-        .withColumn("metric_url_lev_abs", F.levenshtein(un_a, un_b).cast("double"))
+        # min over normalized and raw forms: a char error landing inside
+        # the scheme/"www." makes normalization strip one side but not the
+        # other (lev 4-12 for what is really a 1-edit difference); the raw
+        # comparison still sees 1 edit.
+        .withColumn(
+            "metric_url_lev_abs",
+            F.least(
+                F.levenshtein(un_a, un_b),
+                F.levenshtein(F.lower("url_a"), F.lower("url_b")),
+            ).cast("double"),
+        )
         .withColumn("metric_text_lev", norm_levenshtein(tp_a, tp_b))
         # swap-flag analogue (`utils.R:250-254` fname↔lname swap): does the
         # dirty row's lang field hold the clean row's text?
@@ -111,15 +127,30 @@ def add_match_prob(feat: DataFrame) -> DataFrame:
     url_sim = F.greatest(
         F.lit(0.0), F.lit(1.0) - F.col("metric_url_lev_abs") / F.lit(3.0)
     )
-    content_sim = F.greatest(
-        F.lit(1.0) - F.col("metric_text_lev"),
-        F.col("metric_text_jaccard"),
-        F.lit(1.0) - F.col("metric_swap_lev"),
-    )
+    # content terms are GATED: weak similarity contributes zero rather than
+    # a graded value — ungated prefix-lev similarity lets boilerplate-ish
+    # sibling pages accumulate ~0.35 "content" evidence and tip over the
+    # threshold (measured on the sf0.01 documents corpus).
+    prefix_sim = F.when(
+        F.col("metric_text_lev") <= 0.25, F.lit(1.0) - F.col("metric_text_lev")
+    ).otherwise(F.lit(0.0))
+    swap_sim = F.when(
+        F.col("metric_swap_lev") <= 0.25, F.lit(1.0) - F.col("metric_swap_lev")
+    ).otherwise(F.lit(0.0))
+    jac_sim = F.when(
+        F.col("metric_text_jaccard") >= 0.5, F.col("metric_text_jaccard")
+    ).otherwise(F.lit(0.0))
+    content_sim = F.greatest(prefix_sim, jac_sim, swap_sim)
     ts_sim = F.lit(1.0) / (F.lit(1.0) + F.col("metric_ts_days") / F.lit(30.0))
-    score = (
-        F.lit(0.35) * url_sim
-        + F.lit(0.55) * content_sim
+    # Hard url gate: injected url errors are single-char edits and the
+    # near-dup twin suffix adds 2 — a true pair NEVER strays beyond 2-3
+    # edits, while distinct entities with cloned content (mirror pages)
+    # sit at arbitrary url distance. Without the gate, content-identical
+    # mirrors are unseparable from true matches.
+    gate = (F.col("metric_url_lev_abs") <= 2).cast("double")
+    score = gate * (
+        F.lit(0.45) * url_sim
+        + F.lit(0.45) * content_sim
         + F.lit(0.05) * F.col("metric_lang_eq")
         + F.lit(0.05) * ts_sim
     )
