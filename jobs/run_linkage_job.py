@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""spark-submit entry point: the full record-linkage benchmark run.
+
+Cluster usage (north rule: "spark-submit --py-files on a multi-executor
+cluster"):
+
+    cd /root/repo && zip -r /tmp/rleg.zip rlerrorgenerator_spark
+    spark-submit --py-files /tmp/rleg.zip \
+        jobs/run_linkage_job.py \
+        --input /path/to/pages_parquet   # or --n-rows 100000 to synthesize
+        --ckpt-dir /path/to/checkpoints  # resumable stages
+        --output /path/to/results
+
+Local sandbox:
+
+    python jobs/run_linkage_job.py --n-rows 5000 --ckpt-dir /tmp/ck --output /tmp/out
+
+Every stage writes through the CheckpointManager; re-running with the same
+--ckpt-dir resumes from the last completed stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet dir/file with pages schema "
+                                    "(url, warc_ts, html, text, lang)")
+    ap.add_argument("--documents", help="parquet with documents schema "
+                                        "(doc_id, text, lang, source, ...)")
+    ap.add_argument("--n-rows", type=int, default=0,
+                    help="synthesize this many pages instead of reading input")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--output", default=None)
+    ap.add_argument("--error-rate", type=float, default=None,
+                    help="calibrate injected error rate to this id coverage")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("rleg-linkage").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from rlerrorgenerator_spark.pipeline import run_linkage
+    from rlerrorgenerator_spark.sources.pages import pages_from_documents, synth_pages
+
+    pages = None
+    if args.input:
+        pages = spark.read.parquet(args.input)
+    elif args.documents:
+        pages = pages_from_documents(spark.read.parquet(args.documents))
+    elif args.n_rows:
+        pages = synth_pages(spark, args.n_rows, seed=args.seed)
+    else:
+        ap.error("one of --input / --documents / --n-rows required")
+
+    t0 = time.time()
+    res = run_linkage(spark, pages=pages, seed=args.seed, ckpt_dir=args.ckpt_dir)
+    m = res.metrics.collect()[0]
+    n_cand = res.candidates.count()
+    elapsed = time.time() - t0
+    summary = {
+        "f1": m.f1, "precision": m.precision, "recall": m.recall,
+        "tp": m.tp, "fp": m.fp, "fn": m.fn,
+        "candidate_pairs": n_cand,
+        "pairs_per_sec": n_cand / elapsed,
+        "elapsed_sec": elapsed,
+    }
+    print(json.dumps(summary))
+    if args.output:
+        res.metrics.write.mode("overwrite").parquet(os.path.join(args.output, "metrics"))
+        res.clusters.write.mode("overwrite").parquet(os.path.join(args.output, "clusters"))
+        res.lineage.write.mode("overwrite").parquet(os.path.join(args.output, "lineage"))
+        res.extras["partition_metrics"].write.mode("overwrite").parquet(
+            os.path.join(args.output, "partition_metrics")
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Dedup family + ANN + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Small corpus with a known exact dup, a near dup, and distinct docs."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),                                     # exact dup of 1
+        (3, base.replace("delta", "deltx")),           # near dup of 1
+        (4, "one two three four five six seven eight nine ten"),
+        (5, "red orange yellow green blue indigo violet pink brown black"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(corpus):
+    from rlerrorgenerator_spark.plans.dedup import exact_dedup, exact_dup_groups
+
+    groups = exact_dup_groups(corpus).collect()
+    assert len(groups) == 1
+    assert groups[0].group_size == 2 and groups[0].keep_id == 1
+    kept = sorted(r.doc_id for r in exact_dedup(corpus).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_ngram_jaccard_pairs(corpus):
+    from rlerrorgenerator_spark.plans.dedup import ngram_jaccard_pairs
+
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(corpus, k=3, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_pairs(corpus):
+    from rlerrorgenerator_spark.plans.dedup import minhash_dup_pairs
+
+    pairs = {(r.id_a, r.id_b): r.n_bands
+             for r in minhash_dup_pairs(corpus, n_hashes=12, bands=6, k=3).collect()}
+    assert pairs[(1, 2)] == 6  # identical docs agree on every band
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_properties(spark, corpus):
+    from rlerrorgenerator_spark.plans.dedup import simhash, simhash_dup_pairs
+
+    sk = {r.id: r.simhash for r in simhash(corpus).collect()}
+    assert sk[1] == sk[2]  # identical text → identical sketch
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_dup_pairs(corpus, max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] <= 10
+
+
+def test_cosine_topk_exact(spark):
+    from rlerrorgenerator_spark.plans.ann import cosine_topk
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    top = cosine_topk(df.where(F.col("vec_id") == 0), df, k=2)
+    rows = sorted((r.rk, r.neighbor_id) for r in top.collect())
+    assert rows[0] == (1, 1)  # rank 1 neighbor is vec 1
+
+
+def test_lsh_topk_recall(spark):
+    """LSH candidates must recover most of the exact top-1 neighbors."""
+    import numpy as np
+
+    from rlerrorgenerator_spark.plans.ann import cosine_topk, lsh_topk
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # add 40 perturbed twins: vec_id 100+i ≈ vec i
+    rows += [(100 + i, (base[i] + 0.05 * rng.standard_normal(16)).tolist())
+             for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.where(F.col("vec_id") < 40)
+    exact = {r.query_id: r.neighbor_id
+             for r in cosine_topk(q, df, k=1).collect()}
+    approx = {r.query_id: r.neighbor_id
+              for r in lsh_topk(q, df, k=1, n_planes=6, n_tables=4, dim=16).collect()}
+    hits = sum(1 for k, v in exact.items() if approx.get(k) == v)
+    assert hits / len(exact) >= 0.8
+
+
+def test_multimodal_plumbing(spark):
+    from rlerrorgenerator_spark.functions.multimodal import (
+        FEATURE_DIM,
+        decode_image,
+        extract_features,
+        frame_sample_plan,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=30, seed=1)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r.feature) == FEATURE_DIM
+        assert r.n_bytes > 0
+    # determinism: same payload → same feature
+    again = {r.media_id: r.feature for r in extract_features(media).collect()}
+    for r in rows:
+        assert again[r.media_id] == r.feature
+    # frame sampling fan-out happens JVM-side
+    frames = frame_sample_plan(media, every_ms=1000)
+    assert frames.count() > media.where(F.col("kind") == "video").count()
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_textops_langid(spark):
+    from rlerrorgenerator_spark.functions.textops import langid
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "der hund und die katze und das haus"),
+            (3, "le chien et la maison les arbres des fleurs"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        ["id", "text"],
+    )
+    out = {r.id: r.pred for r in df.select("id", langid("text").alias("pred")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "und"
