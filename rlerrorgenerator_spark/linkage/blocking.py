@@ -132,18 +132,23 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
                       n_hashes: int = 16, shingle_k: int = 5,
                       seed: int = 1) -> DataFrame:
     """MinHash signature per row: min over shingles of xxhash64(salt_i, s)
-    for each of n_hashes salts. All built-in expressions."""
-    sh = _shingles(text_col, shingle_k).alias("__sh")
-    out = df.select(F.col(id_col).alias("__id"), sh)
-    def mh(i: int):
-        # salt bound outside the lambda (2-arg lambdas receive the array
-        # index as second arg in pyspark's transform)
-        salt = f"mh{seed}|{i}"
-        return F.array_min(
-            F.transform(F.col("__sh"), lambda s: F.xxhash64(F.lit(salt), s))
-        )
+    for each of n_hashes salts. All built-in expressions.
 
-    return out.select("__id", *[mh(i).alias(f"mh_{i}") for i in range(n_hashes)])
+    Shape: explode shingles -> ONE groupBy with n_hashes min-aggregates.
+    The array-expression formulation (array_min(transform(...)) per hash)
+    looks shuffle-free but Catalyst's projection collapse inlines the
+    shingle construction into every one of the n_hashes expressions,
+    recomputing it 16x per row — measured 122s vs ~10s at 80k rows. The
+    min-aggs combine map-side so the exploded shuffle stays small."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_shingles(text_col, shingle_k)).alias("__s"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(f"mh{seed}|{i}"), F.col("__s"))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("__id").agg(*aggs)
 
 
 def minhash_blocks(clean: DataFrame, dirty: DataFrame, text_col: str = "text",
@@ -159,13 +164,23 @@ def minhash_blocks(clean: DataFrame, dirty: DataFrame, text_col: str = "text",
                               text_col, "rid", n_hashes, shingle_k, seed)
 
     def band_keys(sig: DataFrame, rid_alias: str) -> DataFrame:
-        out = None
-        for b in range(bands):
-            cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            key = F.xxhash64(F.lit(b), *cols).alias("bkey")
-            part = sig.select(F.col("__id").alias(rid_alias), F.lit(b).alias("band"), key)
-            out = part if out is None else out.unionByName(part)
-        return out
+        # ONE explode over an array of (band, bkey) structs — a per-band
+        # union would re-evaluate the whole signature aggregation subtree
+        # once per band (8× the cost; Catalyst does not share it across
+        # union branches).
+        structs = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b),
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ])
+        return sig.select(
+            F.col("__id").alias(rid_alias), F.explode(structs).alias("bk")
+        ).select(rid_alias, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
 
     ka = _cap_blocks(band_keys(sig_a, "rid_a"), "bkey", max_block_size)
     kb = _cap_blocks(band_keys(sig_b, "rid_b"), "bkey", max_block_size)

@@ -36,14 +36,23 @@ TEXT_PREFIX = 64
 
 def attach_pair_attrs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame) -> DataFrame:
     """Widen (rid_a, rid_b) with _a/_b suffixed attributes — the
-    reference's ``attach_dbs_to_ids`` (`utils.R:152-162`)."""
+    reference's ``attach_dbs_to_ids`` (`utils.R:152-162`).
+
+    Shingle arrays are computed here, ONCE PER ROW on each side before the
+    pair join — computing them inside the pair-level feature expressions
+    would redo the array construction per candidate pair (measured 3×
+    scoring cost at 156k pairs)."""
+    from rlerrorgenerator_spark.functions.textops import word_shingles
+
     a = clean.select(
         F.col("url").alias("rid_a"),
         *[F.col(c).alias(f"{c}_a") for c in PAIR_COLS],
+        word_shingles(F.coalesce("text", F.lit("")), 4).alias("sh_a"),
     )
     b = dirty.select(
         F.col("rid").alias("rid_b"),
         *[F.col(c).alias(f"{c}_b") for c in PAIR_COLS],
+        word_shingles(F.coalesce("text", F.lit("")), 4).alias("sh_b"),
     )
     return candidates.join(a, "rid_a").join(b, "rid_b")
 
@@ -57,12 +66,9 @@ def add_features(pairs: DataFrame) -> DataFrame:
     # (e.g. templated/boilerplate web text) make unigram sets collide on
     # unrelated documents; 4-word shingles encode order and stay ~0 for
     # non-matches while 1-2 char edits only break a handful of shingles.
-    from rlerrorgenerator_spark.functions.textops import word_shingles
-
-    tok_a = word_shingles(F.coalesce("text_a", F.lit("")), 4)
-    tok_b = word_shingles(F.coalesce("text_b", F.lit("")), 4)
-    inter = F.size(F.array_intersect(tok_a, tok_b)).cast("double")
-    union = F.size(F.array_union(tok_a, tok_b)).cast("double")
+    # sh_a/sh_b are precomputed per row in attach_pair_attrs.
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
         pairs.withColumn("metric_url_jw", jaro_winkler_udf(un_a, un_b))
         .withColumn("metric_url_lev", norm_levenshtein(un_a, un_b))
@@ -161,5 +167,7 @@ def add_match_prob(feat: DataFrame) -> DataFrame:
 
 def score_pairs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame) -> DataFrame:
     """candidates (rid_a, rid_b, block) → scored pairs with metric_* +
-    match_prob + prediction."""
-    return add_match_prob(add_features(attach_pair_attrs(candidates, clean, dirty)))
+    match_prob + prediction. Heavy payload columns (texts, shingle arrays)
+    are dropped from the output — the scored table checkpoints lean."""
+    out = add_match_prob(add_features(attach_pair_attrs(candidates, clean, dirty)))
+    return out.drop("sh_a", "sh_b", "text_a", "text_b")

@@ -75,14 +75,20 @@ def run_linkage(
     ckpt_dir: str | None = None,
     use_minhash: bool = True,
     compute_clusters: bool = True,
+    exact: bool = True,
 ) -> LinkageResult:
-    """Full benchmark run; returns every stage as a DataFrame."""
+    """Full benchmark run; returns every stage as a DataFrame.
+
+    ``exact=False`` switches row sampling from exact-k (seeded top-k) to
+    hash-Bernoulli — one less job per transform, the 10^12-row path
+    (SURVEY.md §4); realized counts are then Binomial around the target.
+    """
     ckpt = CheckpointManager(spark, ckpt_dir)
     if pages is None:
         pages = synth_pages(spark, n_rows, seed=seed)
     clean = ckpt.stage(prep_pages(pages), "clean")
     cfg = config or default_error_config()
-    dirty, lineage = mess_data(clean, cfg, seed=seed, ckpt=ckpt)
+    dirty, lineage = mess_data(clean, cfg, seed=seed, ckpt=ckpt, exact=exact)
     candidates = ckpt.stage(
         build_candidates(clean, dirty, use_minhash=use_minhash), "candidates"
     )

@@ -101,17 +101,18 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 12,
                        k: int = 5) -> DataFrame:
     """(id, mh_0..mh_{n-1}) MinHash signature over word-k-shingles."""
-    base = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+    # explode + one groupBy with n min-aggs: the array-expression form
+    # (array_min(transform(...)) per hash) triggers Catalyst projection
+    # collapse, inlining the shingle construction into each of the n
+    # expressions (n× recompute per row).
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("g")
     )
-
-    def mh(i: int):
-        # bind the salt OUTSIDE the lambda: a 2-arg lambda would make
-        # pyspark pass the array index as the second argument
-        salt = f"mh{i}|"
-        return F.array_min(F.transform(F.col("sh"), lambda s: _md5_u64(s, salt)))
-
-    return base.select("id", *[mh(i).alias(f"mh_{i}") for i in range(n_hashes)])
+    aggs = [
+        F.min(_md5_u64(F.col("g"), f"mh{i}|")).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
 
 
 def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
@@ -121,12 +122,20 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
     n_bands agreeing). bands × rows = n_hashes."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n_hashes, k)
-    out = None
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        part = sig.select("id", F.lit(b).alias("band"),
-                          F.concat_ws("|", *cols).alias("bkey"))
-        out = part if out is None else out.unionByName(part)
+    # single explode of (band, bkey) structs — a per-band union would
+    # re-evaluate the signature aggregation once per band
+    structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bkey"),
+        )
+        for b in range(bands)
+    ])
+    out = sig.select("id", F.explode(structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
     a = out.toDF("id_a", "band", "bkey")
     b2 = out.toDF("id_b", "band", "bkey")
     return (
