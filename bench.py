@@ -47,18 +47,25 @@ def _fresh_spark(cores: int, shuffle_parts: int | None = None):
     return s
 
 
-def _run_er_pipeline(spark, sf_dir: str) -> dict:
-    """One full linkage run over pages derived from the documents table;
-    returns timings + candidate-pair count."""
-    from pyspark.sql import functions as F
+def _run_er_pipeline(spark, sf_dir: str, n_rows: int = 0) -> dict:
+    """One full linkage run; returns timings + candidate-pair count.
 
+    ``n_rows=0`` → pages derived from the sf_dir documents table (the
+    per-round bench); ``n_rows>0`` → synthesized pages of that size with
+    Bernoulli sampling (the compute-bound scaling workload: both
+    parallelism levels see the SAME deterministic input)."""
     from rlerrorgenerator_spark.pipeline import run_linkage
     from rlerrorgenerator_spark.sources.pages import pages_from_documents
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    pages = pages_from_documents(docs)
+    if n_rows:
+        pages, exact = None, False
+    else:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        pages, exact = pages_from_documents(docs), True
     t0 = time.time()
-    res = run_linkage(spark, pages=pages, seed=42, compute_clusters=True)
+    res = run_linkage(spark, n_rows=n_rows or 2000, pages=pages, seed=42,
+                      compute_clusters=True, exact=exact,
+                      body_tokens=(200, 600))
     n_candidates = res.candidates.count()
     m = res.metrics.collect()[0]
     res.clusters.count()
@@ -73,24 +80,24 @@ def _run_er_pipeline(spark, sf_dir: str) -> dict:
 
 _SCALING_SNIPPET = r"""
 import json, sys, time
-sf_dir, cores = sys.argv[1], int(sys.argv[2])
+sf_dir, cores, n_rows = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 import os
 os.environ["SPARK_GRAFT_CPUS"] = str(cores)
 from rlerrorgenerator_spark.session import get_spark
 spark = get_spark(app_name=f"bench-scale-{cores}", cores=cores)
 spark.sparkContext.setLogLevel("ERROR")
 from bench import _run_er_pipeline
-out = _run_er_pipeline(spark, sf_dir)
+out = _run_er_pipeline(spark, sf_dir, n_rows=n_rows)
 print("BENCHJSON:" + json.dumps(out))
 """
 
 
-def _run_er_subprocess(sf_dir: str, cores: int) -> dict:
+def _run_er_subprocess(sf_dir: str, cores: int, n_rows: int) -> dict:
     import subprocess
 
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
     proc = subprocess.run(
-        [sys.executable, "-c", _SCALING_SNIPPET, sf_dir, str(cores)],
+        [sys.executable, "-c", _SCALING_SNIPPET, sf_dir, str(cores), str(n_rows)],
         capture_output=True, text=True, env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)),
         timeout=3600,
@@ -138,12 +145,15 @@ def main() -> None:
     if do_scaling:
         spark.stop()
         n_small = max(2, cpus // 4)
-        lo = _run_er_subprocess(sf_dir, n_small)
-        hi = _run_er_subprocess(sf_dir, cpus if cpus >= 4 * n_small else 4 * n_small)
+        scaling_rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "40000"))
+        lo = _run_er_subprocess(sf_dir, n_small, scaling_rows)
+        hi = _run_er_subprocess(sf_dir, cpus if cpus >= 4 * n_small else 4 * n_small,
+                                scaling_rows)
         eff = hi["pairs_per_sec"] / (4.0 * lo["pairs_per_sec"]) if lo["pairs_per_sec"] else 0.0
         scaling = {
             "cores_low": n_small,
             "cores_high": max(cpus, 4 * n_small),
+            "input_rows": scaling_rows,
             "pairs_per_sec_low": round(lo["pairs_per_sec"], 1),
             "pairs_per_sec_high": round(hi["pairs_per_sec"], 1),
             "scaling_efficiency": round(eff, 3),

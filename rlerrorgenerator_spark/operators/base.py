@@ -91,23 +91,64 @@ def choose_ids(
     return cand.where(bernoulli_col(KEY, seed, stage, rate))
 
 
+def select_rows(
+    df: DataFrame,
+    eligible: Column,
+    k: int,
+    seed: int,
+    stage: str,
+    exact: bool = True,
+    rate: float | None = None,
+) -> DataFrame | Column:
+    """Row selection for a transform: either a key DataFrame (exact-k via
+    seeded top-k) or — the scale path — a plain boolean COLUMN predicate
+    (eligible ∧ hash-Bernoulli). The predicate form lets ``apply_cell_edit``
+    run the entire stage as one narrow projection: no joins, no per-stage
+    job, whole chains of transforms fuse into a single codegen stage.
+    Same selected set as ``choose_ids(exact=False)`` (same hash)."""
+    if exact:
+        return choose_ids(df, eligible, k, seed, stage, True, rate)
+    assert rate is not None
+    return eligible & bernoulli_col(KEY, seed, stage, rate)
+
+
 def apply_cell_edit(
     df: DataFrame,
     col: str,
-    selected: DataFrame,
+    selected: DataFrame | Column,
     new_value: Column,
     error: str,
     ts: int,
 ) -> tuple[DataFrame, DataFrame]:
     """Overwrite ``col`` with ``new_value`` on selected rows; emit lineage.
 
-    ``new_value`` (built-in expr or pandas-UDF call; may reference any
-    column of ``df``) is evaluated ONLY over the selected rows — pandas
-    UDFs inside ``when()`` would otherwise run on every row of the table.
-    The k-row edit set then joins back; under the session's broadcast
-    threshold + AQE this is a broadcast-hash join for typical error rates,
-    a shuffled join when the edit set is genuinely huge.
+    Two selection forms:
+
+    - ``selected`` is a COLUMN predicate (Bernoulli scale path): the edit
+      is one narrow projection — ``__sel`` flag, ``__after`` value,
+      conditional overwrite. Zero joins, zero jobs; consecutive transforms
+      fuse into one codegen stage. ``new_value`` may reference ``__sel``
+      (pandas UDFs use it to skip unselected rows cheaply, since Spark
+      evaluates UDFs under ``when`` unconditionally).
+    - ``selected`` is a key DataFrame (exact-k path): ``new_value`` is
+      evaluated ONLY over the semi-joined selected rows, then the k-row
+      edit set joins back (broadcast under the session threshold/AQE).
     """
+    if isinstance(selected, Column):
+        tmp = df.withColumn("__sel", selected).withColumn("__after", new_value)
+        lineage_new = tmp.where(F.col("__sel")).select(
+            F.col(KEY).alias("rid"),
+            F.lit(col).alias("field"),
+            F.lit(error).alias("error"),
+            F.col(col).cast("string").alias("before"),
+            F.col("__after").cast("string").alias("after"),
+            F.lit(ts).cast("long").alias("ts"),
+        )
+        out = tmp.withColumn(
+            col, F.when(F.col("__sel"), F.col("__after")).otherwise(F.col(col))
+        ).drop("__sel", "__after")
+        return out, lineage_new
+
     sel_rows = df.join(selected.select(KEY), KEY, "left_semi")
     edited = sel_rows.withColumn("__after", new_value).select(
         F.col(KEY),

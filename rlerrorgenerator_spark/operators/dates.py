@@ -23,8 +23,8 @@ from pyspark.sql import functions as F
 from rlerrorgenerator_spark.operators.base import (
     KEY,
     apply_cell_edit,
-    choose_ids,
     register,
+    select_rows,
     split_across_cols,
 )
 
@@ -66,7 +66,7 @@ def date_swap(df: DataFrame, lineage: DataFrame, n_errors: int,
             & (F.dayofmonth(d) < 13)
             & (F.month(d) != F.dayofmonth(d))
         )
-        sel = choose_ids(df, eligible, per_col, seed, st, exact, rate)
+        sel = select_rows(df, eligible, per_col, seed, st, exact, rate)
         new = _rebuild(col, is_ts, F.make_date(F.year(d), F.dayofmonth(d), F.month(d)))
         df, ln = apply_cell_edit(df, col, sel, new, "date_swap", ts)
         lineages.append(ln)
@@ -117,7 +117,7 @@ def date_transpose(df: DataFrame, lineage: DataFrame, n_errors: int,
                 )
             )
             new_date = F.make_date(newy, F.month(d), F.dayofmonth(d))
-        sel = choose_ids(df, eligible, per_col, seed, st, exact, rate)
+        sel = select_rows(df, eligible, per_col, seed, st, exact, rate)
         new = _rebuild(col, is_ts, new_date)
         df, ln = apply_cell_edit(df, col, sel, new, f"date_transpose_{token}", ts)
         lineages.append(ln)
@@ -184,7 +184,7 @@ def date_replace(df: DataFrame, lineage: DataFrame, n_errors: int,
             newday = F.greatest(F.lit(1), F.least(cand, maxday))
             eligible = F.col(col).isNotNull()
             new_date = F.make_date(F.year(d), F.month(d), newday)
-        sel = choose_ids(df, eligible, per_col, seed, st, exact, rate)
+        sel = select_rows(df, eligible, per_col, seed, st, exact, rate)
         new = _rebuild(col, is_ts, new_date)
         df, ln = apply_cell_edit(df, col, sel, new, f"date_replace_{token}", ts)
         # drop no-op lineage rows (e.g. month replace that clamped back)

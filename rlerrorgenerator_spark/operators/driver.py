@@ -111,7 +111,17 @@ def mess_data(
     spark = clean.sparkSession
     lookups = lookups or {}
     n = clean.count()
-    dirty = clean
+    # Work on a SLIM copy: columns no transform targets (e.g. the ~KB html
+    # binary) are projected out before the per-stage checkpoints and
+    # re-joined once at the end — at 100 TB you never rewrite untouched
+    # wide columns 9×, and locally this halves checkpoint bytes.
+    targeted = {c for r in config for c in r.col_names}
+    key_cols = {c for c in ("rid", "orig_url", "file") if c in clean.columns}
+    heavy = [
+        c for c, t in clean.dtypes
+        if c not in targeted and c not in key_cols and t == "binary"
+    ]
+    dirty = clean.drop(*heavy) if heavy else clean
     lineage = empty_lineage(spark)
     ordered = [r for r in config if r.error not in ROW_OPS] + [
         r for r in config if r.error in ROW_OPS
@@ -134,7 +144,7 @@ def mess_data(
             elif key not in kwargs and key in lookups and _needs(fn, key):
                 kwargs[key] = lookups[key]
         if row.error == "add_duplicates":
-            kwargs["clean"] = clean
+            kwargs["clean"] = clean.drop(*heavy) if heavy else clean
         ts += 1
         dirty, ln = fn(
             dirty, lineage, n_errors, row.col_names,
@@ -148,9 +158,15 @@ def mess_data(
         if since_ckpt >= checkpoint_every:
             mgr = ckpt or CheckpointManager(spark)
             dirty = mgr.stage(dirty, f"dirty_ts{ts:03d}")
-            lineage = mgr.stage(lineage, f"lineage_ts{ts:03d}")
+            # lineage is NOT checkpointed per stage: once dirty is staged,
+            # each lineage branch is one shallow join off a materialized
+            # table, and the lazy union stays cheap — per-stage lineage
+            # materialization would double the job count.
             since_ckpt = 0
     mgr = ckpt or CheckpointManager(spark)
+    if heavy:
+        wide = clean.select("orig_url", *heavy)
+        dirty = dirty.join(wide, "orig_url", "left")
     dirty = mgr.stage(dirty, "dirty_final")
     lineage = mgr.stage(lineage, "lineage_final")
     return dirty, lineage

@@ -25,11 +25,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from rlerrorgenerator_spark.operators.base import (
     KEY,
     apply_cell_edit,
-    choose_ids,
     register,
+    select_rows,
     split_across_cols,
 )
 from rlerrorgenerator_spark.operators.charsets import CHARSETS, CONFUSION_MAPS
@@ -56,6 +58,37 @@ def _make_udf(fn, seed: int, stage: str):
         return pd.Series(out, dtype="object")
 
     return udf
+
+
+def _make_udf_flagged(fn, seed: int, stage: str):
+    """Flag-gated variant for the inline (Bernoulli) path: Spark evaluates
+    pandas UDFs under when() unconditionally, so the selection flag is an
+    input and unselected rows skip the (hash+rng) work entirely."""
+    @F.pandas_udf("string")
+    def udf(rid: pd.Series, val: pd.Series, flag: pd.Series) -> pd.Series:
+        out = []
+        for k, v, f in zip(rid.to_numpy(), val.to_numpy(), flag.to_numpy()):
+            if not f or v is None:
+                out.append(v)
+                continue
+            out.append(fn(row_rng(str(k), seed, stage), str(v)))
+        return pd.Series(out, dtype="object")
+
+    return udf
+
+
+def _apply_editor(df, col, scalar_fn, error_name, per_col, seed, st, ts,
+                  exact, rate, eligible):
+    """Shared skeleton: selection (exact-k DataFrame or inline predicate)
+    + UDF wiring + apply_cell_edit."""
+    sel = select_rows(df, eligible, per_col, seed, st, exact, rate)
+    if isinstance(sel, Column):
+        udf = _make_udf_flagged(scalar_fn, seed, st)
+        new_value = udf(F.col(KEY), F.col(col), F.col("__sel"))
+    else:
+        udf = _make_udf(scalar_fn, seed, st)
+        new_value = udf(F.col(KEY), F.col(col))
+    return apply_cell_edit(df, col, sel, new_value, error_name, ts)
 
 
 def _indel_one(rng, s: str, charset: str) -> str:
@@ -112,9 +145,8 @@ def indel(df: DataFrame, lineage: DataFrame, n_errors: int, col_names: list[str]
     for col in col_names:
         st = f"{stage}|indel|{col}"
         eligible = F.col(col).isNotNull() & (F.length(col) > 0)
-        sel = choose_ids(df, eligible, per_col, seed, st, exact, rate)
-        udf = _make_udf(lambda rng, s, cs=cs: _indel_one(rng, s, cs), seed, st)
-        df, ln = apply_cell_edit(df, col, sel, udf(F.col(KEY), F.col(col)), "indel", ts)
+        df, ln = _apply_editor(df, col, lambda rng, s, cs=cs: _indel_one(rng, s, cs),
+                               "indel", per_col, seed, st, ts, exact, rate, eligible)
         lineages.append(ln)
     return df, _union(lineages)
 
@@ -135,12 +167,11 @@ def repl(df: DataFrame, lineage: DataFrame, n_errors: int, col_names: list[str],
             # only rows containing a confusable char are eligible
             pat = "[" + "".join(sorted(set(confusion))).replace("\\", "\\\\").replace("]", "\\]") + "]"
             eligible = eligible & F.col(col).rlike(pat)
-        sel = choose_ids(df, eligible, per_col, seed, st, exact, rate)
-        udf = _make_udf(
-            lambda rng, s, cs=cs, cf=confusion: _repl_one(rng, s, cs, cf), seed, st
-        )
         name = "repl" if confusion is None else f"repl_{charset}"
-        df, ln = apply_cell_edit(df, col, sel, udf(F.col(KEY), F.col(col)), name, ts)
+        df, ln = _apply_editor(
+            df, col, lambda rng, s, cs=cs, cf=confusion: _repl_one(rng, s, cs, cf),
+            name, per_col, seed, st, ts, exact, rate, eligible,
+        )
         lineages.append(ln)
     return df, _union(lineages)
 
@@ -162,9 +193,8 @@ def tpose(df: DataFrame, lineage: DataFrame, n_errors: int, col_names: list[str]
             & (F.length(col) > 1)
             & (F.col(col) != F.expr(f"repeat(substring({col}, 1, 1), length({col}))"))
         )
-        sel = choose_ids(df, eligible, per_col, seed, st, exact, rate)
-        udf = _make_udf(lambda rng, s: _tpose_one(rng, s), seed, st)
-        df, ln = apply_cell_edit(df, col, sel, udf(F.col(KEY), F.col(col)), "tpose", ts)
+        df, ln = _apply_editor(df, col, lambda rng, s: _tpose_one(rng, s),
+                               "tpose", per_col, seed, st, ts, exact, rate, eligible)
         lineages.append(ln)
     return df, _union(lineages)
 

@@ -10,11 +10,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from rlerrorgenerator_spark.operators.base import (
     KEY,
     apply_cell_edit,
     choose_ids,
     register,
+    select_rows,
     split_across_cols,
 )
 
@@ -31,7 +34,7 @@ def first_letter_abbreviate(df: DataFrame, lineage: DataFrame, n_errors: int,
     for col in col_names:
         st = f"{stage}|abbr|{col}"
         eligible = F.col(col).isNotNull() & (F.length(col) > 1)
-        sel = choose_ids(df, eligible, per_col, seed, st, exact, rate)
+        sel = select_rows(df, eligible, per_col, seed, st, exact, rate)
         df, ln = apply_cell_edit(
             df, col, sel, F.substring(F.col(col), 1, 1),
             "first_letter_abbreviate", ts,
@@ -55,7 +58,7 @@ def ch1_to_ch2(df: DataFrame, lineage: DataFrame, n_errors: int,
     for col in col_names:
         st = f"{stage}|ch1ch2|{col}"
         eligible = F.col(col).isNotNull() & F.col(col).rlike(flanked)
-        sel = choose_ids(df, eligible, per_col, seed, st, exact, rate)
+        sel = select_rows(df, eligible, per_col, seed, st, exact, rate)
         if all:
             new = F.regexp_replace(F.col(col), q1, ch2)
         else:
@@ -134,11 +137,31 @@ def swap_fields(df: DataFrame, lineage: DataFrame, n_errors: int,
             F.col(c1).isNotNull() & F.col(c2).isNotNull()
             & (F.col(c1).cast("string") != F.col(c2).cast("string"))
         )
-        sel = choose_ids(df, eligible, per_pair, seed, st, exact, rate)
-        patch = (
-            df.join(sel.select(KEY), KEY, "left_semi")
-            .select(KEY, F.col(c1).alias("__v1"), F.col(c2).alias("__v2"))
-        )
+        sel = select_rows(df, eligible, per_pair, seed, st, exact, rate)
+        if isinstance(sel, Column):
+            flagged = df.withColumn("__sel", sel)
+            patch = flagged.where("__sel").select(
+                KEY, F.col(c1).alias("__v1"), F.col(c2).alias("__v2")
+            )
+            out = (
+                flagged.withColumn(
+                    "__n1", F.when(F.col("__sel"), F.col(c2)).otherwise(F.col(c1))
+                )
+                .withColumn(c2, F.when(F.col("__sel"), F.col(c1)).otherwise(F.col(c2)))
+                .withColumn(c1, F.col("__n1"))
+                .drop("__sel", "__n1")
+            )
+        else:
+            patch = (
+                df.join(sel.select(KEY), KEY, "left_semi")
+                .select(KEY, F.col(c1).alias("__v1"), F.col(c2).alias("__v2"))
+            )
+            out = (
+                df.join(patch, KEY, "left")
+                .withColumn(c1, F.coalesce(F.col("__v2"), F.col(c1)))
+                .withColumn(c2, F.coalesce(F.col("__v1"), F.col(c2)))
+                .drop("__v1", "__v2")
+            )
         for fld, before, after in ((c1, "__v1", "__v2"), (c2, "__v2", "__v1")):
             lineages.append(
                 patch.select(
@@ -150,12 +173,7 @@ def swap_fields(df: DataFrame, lineage: DataFrame, n_errors: int,
                     F.lit(ts).cast("long").alias("ts"),
                 )
             )
-        df = (
-            df.join(patch, KEY, "left")
-            .withColumn(c1, F.coalesce(F.col("__v2"), F.col(c1)))
-            .withColumn(c2, F.coalesce(F.col("__v1"), F.col(c2)))
-            .drop("__v1", "__v2")
-        )
+        df = out
     return df, _union(lineages)
 
 

@@ -18,8 +18,8 @@ from pyspark.sql import functions as F
 from rlerrorgenerator_spark.operators.base import (
     KEY,
     apply_cell_edit,
-    choose_ids,
     register,
+    select_rows,
     split_across_cols,
 )
 
@@ -48,7 +48,7 @@ def _lookup_substitute(df, n_errors, col_names, lookup, *, seed, stage, ts,
             F.broadcast(pick), df[col] == pick["lookup_name"], "left"
         ).drop("lookup_name").withColumnRenamed("lookup_alternate", "__alt")
         eligible = F.col("__alt").isNotNull() & (F.col("__alt") != F.col(col))
-        sel = choose_ids(tmp, eligible, per_col, seed, st, exact, rate)
+        sel = select_rows(tmp, eligible, per_col, seed, st, exact, rate)
         tmp, ln = apply_cell_edit(tmp, col, sel, F.col("__alt"), error_name, ts)
         df = tmp.drop("__alt")
         lineages.append(ln)
@@ -125,7 +125,7 @@ def add_name_suffix(df: DataFrame, lineage: DataFrame, n_errors: int,
         eligible = F.col(col).isNotNull()
         if sex is not None:
             eligible = eligible & (F.col(sex) == sex_value)
-        sel = choose_ids(df, eligible, per_col, seed, st, exact, rate)
+        sel = select_rows(df, eligible, per_col, seed, st, exact, rate)
         u = (F.pmod(F.xxhash64(F.lit(st), F.col(KEY)), F.lit(10**9)).cast("double")
              / F.lit(1e9))
         pick = F.lit(suffixes[-1])
@@ -164,7 +164,7 @@ def married_name_change(df: DataFrame, lineage: DataFrame, n_errors: int,
             eligible = eligible & (F.col(sex) == sex_value)
         if age is not None:
             eligible = eligible & (F.col(age) > 20)
-        sel = choose_ids(df, eligible, per_col, seed, st, exact, rate)
+        sel = select_rows(df, eligible, per_col, seed, st, exact, rate)
         tmp = df.withColumn(
             "__sidx", F.pmod(F.xxhash64(F.lit(st), F.col(KEY)), F.lit(n_names)).cast("int")
         ).join(F.broadcast(idx), "__sidx", "left").drop("__sidx")

@@ -76,19 +76,23 @@ def run_linkage(
     use_minhash: bool = True,
     compute_clusters: bool = True,
     exact: bool = True,
+    body_tokens: tuple[int, int] = (20, 120),
 ) -> LinkageResult:
     """Full benchmark run; returns every stage as a DataFrame.
 
     ``exact=False`` switches row sampling from exact-k (seeded top-k) to
-    hash-Bernoulli — one less job per transform, the 10^12-row path
-    (SURVEY.md §4); realized counts are then Binomial around the target.
+    hash-Bernoulli — the 10^12-row path (SURVEY.md §4): every transform
+    becomes one narrow fusable projection (no joins, no per-stage jobs),
+    so the whole injection program checkpoints every few stages instead
+    of every stage; realized counts are Binomial around the target.
     """
     ckpt = CheckpointManager(spark, ckpt_dir)
     if pages is None:
-        pages = synth_pages(spark, n_rows, seed=seed)
+        pages = synth_pages(spark, n_rows, seed=seed, body_tokens=body_tokens)
     clean = ckpt.stage(prep_pages(pages), "clean")
     cfg = config or default_error_config()
-    dirty, lineage = mess_data(clean, cfg, seed=seed, ckpt=ckpt, exact=exact)
+    dirty, lineage = mess_data(clean, cfg, seed=seed, ckpt=ckpt, exact=exact,
+                               checkpoint_every=1 if exact else 4)
     candidates = ckpt.stage(
         build_candidates(clean, dirty, use_minhash=use_minhash), "candidates"
     )

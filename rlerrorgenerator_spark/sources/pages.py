@@ -74,7 +74,8 @@ def _render_html(title: str, body: str) -> bytes:
     ).encode("utf-8")
 
 
-def _rows_for_ids(ids: np.ndarray, seed: int, n_total: int) -> pd.DataFrame:
+def _rows_for_ids(ids: np.ndarray, seed: int, n_total: int,
+                  body_tokens: tuple[int, int] = (20, 120)) -> pd.DataFrame:
     # host count derives from the TOTAL row count (never the batch size —
     # that would make output depend on partitioning)
     n_hosts = max(8, int(n_total ** 0.5))
@@ -84,7 +85,7 @@ def _rows_for_ids(ids: np.ndarray, seed: int, n_total: int) -> pd.DataFrame:
         host = int(i) % n_hosts
         tld = _TLDS[int(rng.integers(0, len(_TLDS)))]
         url = f"https://www.host{host:04d}.{tld}/p/{int(i):010d}"
-        n_tok = int(rng.integers(20, 120))
+        n_tok = int(rng.integers(body_tokens[0], body_tokens[1]))
         toks = rng.choice(_VOCAB, size=n_tok)
         title = " ".join(rng.choice(_VOCAB, size=3))
         body = " ".join(toks.tolist())
@@ -108,19 +109,27 @@ def _rows_for_ids(ids: np.ndarray, seed: int, n_total: int) -> pd.DataFrame:
     )
 
 
-def synth_pages(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+def synth_pages(spark: SparkSession, n: int, seed: int = 42,
+                partitions: int | None = None,
+                body_tokens: tuple[int, int] = (20, 120)) -> DataFrame:
     """Distributed deterministic pages table of ``n`` rows.
 
     Uses ``spark.range`` + ``mapInPandas`` so synthesis scales out: each
     task generates only its id slice, keyed RNG makes output independent
-    of the slice boundaries.
+    of the slice boundaries. ``body_tokens`` bounds the per-page body
+    length — (200, 600) approximates real Common-Crawl text density
+    (KB-scale pages), the default keeps unit tests fast.
     """
     if partitions is None:
-        partitions = max(2, min(64, n // 2000 + 1))
+        # VOLUME-based partitioning (not core-count-based): identical
+        # plans at every parallelism level — the property the scaling
+        # benchmark measures — and tasks sized by data, which is how a
+        # 100 TB table is split (maxPartitionBytes), not by cluster size.
+        partitions = max(2, min(512, n // 2500 + 1, n))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            yield _rows_for_ids(b["id"].to_numpy(), seed, n)
+            yield _rows_for_ids(b["id"].to_numpy(), seed, n, body_tokens)
 
     return (
         spark.range(0, n, numPartitions=partitions)
