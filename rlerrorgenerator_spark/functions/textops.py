@@ -105,8 +105,20 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def word_shingles(col, k: int = 5) -> Column:
     """k-word shingles as array<string> (the near-dup unit for n-gram
-    Jaccard and MinHash) — built-in only: slice over the token array."""
-    toks = tokens(col)
+    Jaccard and MinHash) — built-in only: slice over the token array.
+
+    PERF TRAP: the token array MUST be a bound attribute, not an inline
+    expression — any expression inside the ``transform`` lambda re-
+    evaluates per shingle position (no CSE across higher-order-function
+    lambda calls), turning shingling O(tokens²) per row. Measured 112s →
+    ~2s for 12M shingles. Use ``word_shingles_from_tokens`` over a
+    pre-projected token column; this convenience wrapper is only safe for
+    short texts (tests / oracle queries at sf0.01)."""
+    return word_shingles_from_tokens(tokens(col), k)
+
+
+def word_shingles_from_tokens(toks, k: int = 5) -> Column:
+    """Shingles from an (ideally pre-projected) token-array column."""
     n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
     return F.array_distinct(
         F.transform(
@@ -114,3 +126,17 @@ def word_shingles(col, k: int = 5) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         )
     )
+
+
+def with_shingles(df: DataFrame, text_col, out_col: str, k: int = 5,
+                  normalize: bool = False) -> DataFrame:
+    """Append a shingle-array column with the token split projected as a
+    separate attribute first (see the PERF TRAP note above): the split
+    runs once per row, the lambda reads the bound array."""
+    t = text_col if isinstance(text_col, Column) else F.col(text_col)
+    if normalize:
+        t = F.lower(F.regexp_replace(t, r"\s+", " "))
+    step = df.withColumn("__toks__", F.split(t, " "))
+    return step.withColumn(
+        out_col, word_shingles_from_tokens(F.col("__toks__"), k)
+    ).drop("__toks__")

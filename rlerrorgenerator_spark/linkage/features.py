@@ -40,20 +40,31 @@ def attach_pair_attrs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame)
 
     Shingle arrays are computed here, ONCE PER ROW on each side before the
     pair join — computing them inside the pair-level feature expressions
-    would redo the array construction per candidate pair (measured 3×
-    scoring cost at 156k pairs)."""
-    from rlerrorgenerator_spark.functions.textops import word_shingles
+    would redo the array construction per candidate pair. They are stored
+    as HASHED shingles (array<long>): 8-byte elements instead of ~25-byte
+    strings through the join, and the later array_intersect/array_union
+    compare longs, not strings. No array_distinct (O(n²) on big string
+    arrays); intersect/union already emit set semantics."""
 
-    a = clean.select(
-        F.col("url").alias("rid_a"),
-        *[F.col(c).alias(f"{c}_a") for c in PAIR_COLS],
-        word_shingles(F.coalesce("text", F.lit("")), 4).alias("sh_a"),
-    )
-    b = dirty.select(
-        F.col("rid").alias("rid_b"),
-        *[F.col(c).alias(f"{c}_b") for c in PAIR_COLS],
-        word_shingles(F.coalesce("text", F.lit("")), 4).alias("sh_b"),
-    )
+    def sided(df: DataFrame, key_col: str, alias: str) -> DataFrame:
+        k = 4
+        step = df.withColumn(
+            "__toks__", F.split(F.coalesce("text", F.lit("")), " ")
+        )
+        n = F.greatest(F.size("__toks__") - F.lit(k - 1), F.lit(1))
+        sh_str = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks__"), i, k)),
+        )
+        hashed = F.transform(sh_str, lambda s: F.xxhash64(s))
+        return step.select(
+            F.col(key_col).alias(f"rid_{alias}"),
+            *[F.col(c).alias(f"{c}_{alias}") for c in PAIR_COLS],
+            hashed.alias(f"sh_{alias}"),
+        )
+
+    a = sided(clean, "url", "a")
+    b = sided(dirty, "rid", "b")
     return candidates.join(a, "rid_a").join(b, "rid_b")
 
 

@@ -69,6 +69,73 @@ def per_partition_metrics(labeled: DataFrame, prob_col: str = "match_prob",
     )
 
 
+def calc_review_pct(labeled: DataFrame, ppv_target: float = 0.95,
+                    npv_target: float = 0.95,
+                    prob_col: str = "match_prob") -> DataFrame:
+    """Fraction of pairs needing clerical review at PPV/NPV targets
+    (`/root/reference/benchmarking/utils.R:1050-1081`): find the lowest
+    upper threshold whose accept-set precision ≥ ppv_target and the
+    highest lower threshold whose reject-set NPV ≥ npv_target; pairs with
+    probability between the two need human review.
+
+    One pass: rank pairs by prob desc (accept side) / asc (reject side),
+    cumulative precision/NPV via windows, pick the qualifying bounds.
+    """
+    from pyspark.sql import Window
+
+    total = labeled.count()
+    wd = Window.orderBy(F.desc(prob_col))
+    acc = (
+        labeled.select(prob_col, F.col("label").cast("long").alias("y"))
+        .withColumn("ctp", F.sum("y").over(wd))
+        .withColumn("cn", F.count(F.lit(1)).over(wd))
+        .withColumn("ppv", F.col("ctp") / F.col("cn"))
+    )
+    upper_row = acc.where(F.col("ppv") >= ppv_target).agg(
+        F.min(prob_col).alias("t")
+    ).collect()[0]
+    upper = upper_row["t"] if upper_row["t"] is not None else 1.0
+    wa = Window.orderBy(F.asc(prob_col))
+    rej = (
+        labeled.select(prob_col, (~F.col("label")).cast("long").alias("yn"))
+        .withColumn("ctn", F.sum("yn").over(wa))
+        .withColumn("cn", F.count(F.lit(1)).over(wa))
+        .withColumn("npv", F.col("ctn") / F.col("cn"))
+    )
+    lower_row = rej.where(F.col("npv") >= npv_target).agg(
+        F.max(prob_col).alias("t")
+    ).collect()[0]
+    lower = lower_row["t"] if lower_row["t"] is not None else 0.0
+    n_review = labeled.where(
+        (F.col(prob_col) > lower) & (F.col(prob_col) < upper)
+    ).count()
+    spark = labeled.sparkSession
+    return spark.createDataFrame(
+        [(float(lower), float(upper), n_review, total,
+          n_review / max(total, 1))],
+        ["lower_threshold", "upper_threshold", "n_review", "n_pairs", "review_pct"],
+    )
+
+
+def sample_strat(labeled: DataFrame, n: int, match_frac: float = 0.2,
+                 seed: int = 42, label_col: str = "label") -> DataFrame:
+    """Stratified sample: ``n`` pairs at ``match_frac`` positives
+    (`paper_flow_dob_latest.Rmd:161-172` ``sample_strat``). Deterministic
+    seeded top-k per stratum (not ``sampleBy`` — that's Bernoulli and
+    non-exact)."""
+    from pyspark.sql import Window
+
+    n_pos = int(n * match_frac)
+    w = Window.partitionBy(label_col).orderBy(
+        F.xxhash64(F.lit(seed), F.col("rid_a"), F.col("rid_b"))
+    )
+    ranked = labeled.withColumn("__rk", F.row_number().over(w))
+    return ranked.where(
+        (F.col(label_col) & (F.col("__rk") <= n_pos))
+        | (~F.col(label_col) & (F.col("__rk") <= n - n_pos))
+    ).drop("__rk")
+
+
 def find_threshold_for_metric(labeled: DataFrame, metric: str = "precision",
                               target: float = 0.99,
                               prob_col: str = "match_prob") -> float | None:

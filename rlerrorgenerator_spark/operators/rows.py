@@ -90,6 +90,35 @@ def add_near_duplicates(df: DataFrame, lineage: DataFrame, n_errors: int,
     return out, ln
 
 
+@register("make_twins")
+def make_twins(df: DataFrame, lineage: DataFrame, n_errors: int,
+               col_names: list[str] | None = None, *, seed: int, stage: str,
+               ts: int, exact: bool = True, rate: float | None = None):
+    """Benchmark twin variant (`/root/reference/benchmarking/utils.R:663-697`):
+    among rows with a precomputed ``twin_id``/``bday_twin`` (see
+    ``sources.persons.get_bdays``), sample twin groups and overwrite
+    ``dob`` with the shared twin birthday — realized twins become
+    same-(lname,age,dob) entities."""
+    st = f"{stage}|make_twins"
+    eligible = (
+        F.col("twin_id").isNotNull()
+        & F.col("bday_twin").isNotNull()
+        & (F.col("dob") != F.col("bday_twin"))
+    )
+    # sample twin GROUPS: rank distinct twin_ids, keep members of chosen
+    # groups (`utils.R:673-680` samples group ids)
+    groups = df.where(eligible).select("twin_id").distinct()
+    if exact:
+        sel_groups = groups.orderBy(rank_col("twin_id", seed, st)).limit(int(n_errors))
+    else:
+        from rlerrorgenerator_spark.rng import bernoulli_col
+        sel_groups = groups.where(bernoulli_col("twin_id", seed, st, rate))
+    chosen = df.where(eligible).join(F.broadcast(sel_groups), "twin_id", "left_semi") \
+               .select(KEY)
+    from rlerrorgenerator_spark.operators.base import apply_cell_edit
+    return apply_cell_edit(df, "dob", chosen, F.col("bday_twin"), "make_twins", ts)
+
+
 @register("twins_generate")
 def twins_generate(df: DataFrame, lineage: DataFrame, n_errors: int,
                    col_names: list[str], *, seed: int, stage: str, ts: int,
