@@ -108,7 +108,11 @@ def sorted_neighborhood_blocks(clean: DataFrame, dirty: DataFrame,
         .withColumn("pid", F.spark_partition_id())
     )
     wp = Window.partitionBy("pid").orderBy("skey", "side", "rid")
-    local = parted.withColumn("rn_local", F.row_number().over(wp))
+    # materialize ONCE: the per-partition offsets below must describe the
+    # exact same range boundaries the ranked rows carry — re-evaluating
+    # the plan can resample RangePartitioner bounds (AQE-dependent) and
+    # mismatch pid↔offset, silently corrupting the global rank.
+    local = parted.withColumn("rn_local", F.row_number().over(wp)).localCheckpoint(eager=True)
     sizes = sorted(
         (r.pid, r.cnt)
         for r in local.groupBy("pid").agg(F.count("*").alias("cnt")).collect()

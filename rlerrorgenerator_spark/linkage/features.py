@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from rlerrorgenerator_spark.functions.similarity import jaro_winkler_udf, norm_levenshtein
 from rlerrorgenerator_spark.linkage.blocking import normalize_url
 
-PAIR_COLS = ["url", "text", "lang", "warc_ts"]
+PAIR_COLS = ["url", "lang", "warc_ts"]
 TEXT_PREFIX = 64
 
 
@@ -44,7 +44,12 @@ def attach_pair_attrs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame)
     as HASHED shingles (array<long>): 8-byte elements instead of ~25-byte
     strings through the join, and the later array_intersect/array_union
     compare longs, not strings. No array_distinct (O(n²) on big string
-    arrays); intersect/union already emit set semantics."""
+    arrays); intersect/union already emit set semantics.
+
+    The sided projections are SLIM: full texts never enter the pair join
+    — only the 64-char prefix, the length, and the hashed shingles
+    (shipping whole page bodies through the pair shuffle measured ~GBs
+    at 10^5 pairs and would be TBs at crawl scale)."""
 
     def sided(df: DataFrame, key_col: str, alias: str) -> DataFrame:
         k = 4
@@ -60,6 +65,8 @@ def attach_pair_attrs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame)
         return step.select(
             F.col(key_col).alias(f"rid_{alias}"),
             *[F.col(c).alias(f"{c}_{alias}") for c in PAIR_COLS],
+            F.substring(F.coalesce("text", F.lit("")), 1, TEXT_PREFIX).alias(f"tp_{alias}"),
+            F.length(F.coalesce("text", F.lit(""))).alias(f"tlen_{alias}"),
             hashed.alias(f"sh_{alias}"),
         )
 
@@ -71,8 +78,7 @@ def attach_pair_attrs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame)
 def add_features(pairs: DataFrame) -> DataFrame:
     """Compute the metric_* columns on a widened pair table."""
     un_a, un_b = normalize_url("url_a"), normalize_url("url_b")
-    tp_a = F.substring(F.coalesce("text_a", F.lit("")), 1, TEXT_PREFIX)
-    tp_b = F.substring(F.coalesce("text_b", F.lit("")), 1, TEXT_PREFIX)
+    tp_a, tp_b = F.col("tp_a"), F.col("tp_b")
     # word-SHINGLE Jaccard, not unigram: corpora with small vocabularies
     # (e.g. templated/boilerplate web text) make unigram sets collide on
     # unrelated documents; 4-word shingles encode order and stay ~0 for
@@ -107,8 +113,8 @@ def add_features(pairs: DataFrame) -> DataFrame:
         )
         .withColumn(
             "metric_len_ratio",
-            F.least(F.length("text_a"), F.length("text_b")).cast("double")
-            / F.greatest(F.length("text_a"), F.length("text_b"), F.lit(1)).cast("double"),
+            F.least("tlen_a", "tlen_b").cast("double")
+            / F.greatest(F.col("tlen_a"), F.col("tlen_b"), F.lit(1)).cast("double"),
         )
         .withColumn(
             "metric_lang_eq",
@@ -181,4 +187,4 @@ def score_pairs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame) -> Da
     match_prob + prediction. Heavy payload columns (texts, shingle arrays)
     are dropped from the output — the scored table checkpoints lean."""
     out = add_match_prob(add_features(attach_pair_attrs(candidates, clean, dirty)))
-    return out.drop("sh_a", "sh_b", "text_a", "text_b")
+    return out.drop("sh_a", "sh_b", "tp_a", "tp_b")

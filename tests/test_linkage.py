@@ -110,6 +110,24 @@ def test_f1_across_error_rates(spark, e_target):
     assert m.f1 >= 0.99, f"e={e_target}: F1={m.f1}"
 
 
+def test_candidates_deterministic(spark):
+    """build_candidates must yield the identical pair set across repeated
+    evaluations (guards the SNM global-rank offset consistency and every
+    hash-based blocker)."""
+    from rlerrorgenerator_spark.linkage.blocking import build_candidates
+    from rlerrorgenerator_spark.sources.pages import prep_pages, synth_pages
+    from rlerrorgenerator_spark.operators import mess_data
+    from rlerrorgenerator_spark.pipeline import default_error_config
+
+    clean = prep_pages(synth_pages(spark, 400, seed=3)).localCheckpoint(eager=True)
+    dirty, _ = mess_data(clean, default_error_config(), seed=3, exact=False)
+    sets = []
+    for _ in range(2):
+        cand = build_candidates(clean, dirty)
+        sets.append({(r.rid_a, r.rid_b) for r in cand.collect()})
+    assert sets[0] == sets[1]
+
+
 def test_resume_from_checkpoint(spark, tmp_path):
     """North rule: any stage resumes mid-run — rerunning with the same
     checkpoint dir must reuse stage outputs and reproduce results."""
