@@ -101,16 +101,21 @@ def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window function family: rank over aggregated totals."""
+    """Window function family: rank over aggregated totals.
+
+    Scale shape: the top-10 is taken with ``orderBy().limit(10)`` — a
+    distributed TakeOrdered, NOT a partition-less ``Window.orderBy`` over
+    all user totals (which funnels every total into one task); the rank
+    window then runs over the 10 surviving rows only."""
     from pyspark.sql import Window
 
     ev = _load(spark, sf_dir, "events")
     tot = ev.groupBy("user_id").agg(F.round(F.sum("value"), 4).alias("total_value"),
                                     F.count("*").alias("n_events"))
+    top = tot.orderBy(F.desc("total_value"), F.asc("user_id")).limit(10)
     w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
     return (
-        tot.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 10)
+        top.withColumn("rk", F.row_number().over(w))
         .select("rk", "user_id", "total_value", "n_events")
     )
 
@@ -488,6 +493,48 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(i::DOUBLE / (ca.n + cb.n - i), 6) >= 0.6
         """,
         "dup_minhash": _minhash_sql(12, 6),
+        "dup_simhash": f"""
+            WITH corpus AS ({_DOUBLED_SQL}),
+            tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus),
+            h AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(t), 17, 8))::BIGINT AS hi,
+                     ('0x' || substring(md5(t), 25, 8))::BIGINT AS lo
+              FROM tok
+            ),
+            bsum AS (
+              SELECT doc_id, r.i AS i,
+                     sum(CASE WHEN ((lo >> r.i) & 1) = 1 THEN 1 ELSE -1 END) AS slo,
+                     sum(CASE WHEN ((hi >> r.i) & 1) = 1 THEN 1 ELSE -1 END) AS shi
+              FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) r
+              GROUP BY doc_id, r.i
+            ),
+            sk AS (
+              SELECT doc_id,
+                     sum(CASE WHEN slo > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS sim_lo,
+                     sum(CASE WHEN shi > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS sim_hi
+              FROM bsum GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, b.j AS band,
+                     CASE WHEN b.j < 4 THEN (sim_lo >> (8 * b.j)) & 255
+                          ELSE (sim_hi >> (8 * (b.j - 4))) & 255 END AS bkey
+              FROM sk CROSS JOIN (SELECT unnest(range(8)) AS j) b
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              FROM bands a JOIN bands b2
+                ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+            )
+            SELECT id_a, id_b,
+                   (bit_count(xor(sa.sim_lo, sb.sim_lo))
+                    + bit_count(xor(sa.sim_hi, sb.sim_hi)))::BIGINT AS hamming
+            FROM pairs
+            JOIN sk sa ON sa.doc_id = id_a
+            JOIN sk sb ON sb.doc_id = id_b
+            WHERE bit_count(xor(sa.sim_lo, sb.sim_lo))
+                  + bit_count(xor(sa.sim_hi, sb.sim_hi)) <= 6
+        """,
         "ann_cosine_topk": """
             WITH scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

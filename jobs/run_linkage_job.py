@@ -63,8 +63,27 @@ def main() -> None:
     else:
         ap.error("one of --input / --documents / --n-rows required")
 
+    amount_mult = 1.0
+    if args.error_rate is not None:
+        # Calibrate the program's amount multiplier so the realized
+        # distinct-errored-id fraction reaches the target (reference
+        # `generate_error`, benchmarking/utils.R:712-768), then run the
+        # full pipeline with that multiplier (NOT a pre-scaled config —
+        # scaling a fractional amount past 1.0 in the config would flip it
+        # into the absolute-count branch of the driver).
+        from rlerrorgenerator_spark.operators import calibrate_error_rate
+        from rlerrorgenerator_spark.pipeline import default_error_config
+        from rlerrorgenerator_spark.sources.pages import prep_pages
+
+        clean = prep_pages(pages).localCheckpoint(eager=True)
+        _, _, amount_mult = calibrate_error_rate(
+            clean, default_error_config(), args.error_rate, seed=args.seed
+        )
+        pages = clean.drop("file", "rid", "orig_url")
+
     t0 = time.time()
-    res = run_linkage(spark, pages=pages, seed=args.seed, ckpt_dir=args.ckpt_dir)
+    res = run_linkage(spark, pages=pages, seed=args.seed, ckpt_dir=args.ckpt_dir,
+                      amount_mult=amount_mult)
     m = res.metrics.collect()[0]
     n_cand = res.candidates.count()
     elapsed = time.time() - t0

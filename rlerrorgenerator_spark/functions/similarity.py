@@ -91,3 +91,57 @@ def norm_levenshtein(c1: Column, c2: Column) -> Column:
         F.levenshtein(c1, c2).cast("double")
         / F.greatest(F.length(c1), F.length(c2), F.lit(1)).cast("double")
     )
+
+
+def osa_distance(s1: str, s2: str) -> int:
+    """Restricted Damerau-Levenshtein (optimal string alignment) —
+    stringdist's ``method='osa'``/``'dl'`` as used by the reference's
+    scoring (`/root/reference/benchmarking/utils.R:168-187,223-226`).
+
+    Differs from plain Levenshtein exactly on adjacent transpositions
+    (the ``tpose`` error operator's output): osa("paer","pear")=1,
+    lev=2."""
+    if s1 == s2:
+        return 0
+    l1, l2 = len(s1), len(s2)
+    if not l1:
+        return l2
+    if not l2:
+        return l1
+    prev2: list[int] | None = None
+    prev = list(range(l2 + 1))
+    for i in range(1, l1 + 1):
+        cur = [i] + [0] * l2
+        c1 = s1[i - 1]
+        for j in range(1, l2 + 1):
+            cost = 0 if c1 == s2[j - 1] else 1
+            best = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (i > 1 and j > 1 and c1 == s2[j - 2] and s1[i - 2] == s2[j - 1]
+                    and prev2 is not None):
+                best = min(best, prev2[j - 2] + 1)
+            cur[j] = best
+        prev2, prev = prev, cur
+    return prev[l2]
+
+
+def osa_udf(c1: Column, c2: Column, normalize: bool = True) -> Column:
+    """Arrow-batched pandas UDF column: OSA distance, optionally
+    normalized by max length (``string_dist_norm`` semantics). Per-row DP
+    inside the Arrow batch — the same batching contract as the JW UDF;
+    name/url operands are short so the DP is O(len²) on tiny lengths."""
+
+    @F.pandas_udf("double")
+    def _osa(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a.to_numpy(), b.to_numpy()):
+            if x is None or y is None:
+                out.append(None)
+                continue
+            x, y = str(x), str(y)
+            d = float(osa_distance(x, y))
+            if normalize:
+                d /= max(len(x), len(y), 1)
+            out.append(d)
+        return pd.Series(out, dtype="float64")
+
+    return _osa(c1, c2)

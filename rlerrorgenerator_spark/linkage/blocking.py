@@ -96,39 +96,13 @@ def sorted_neighborhood_blocks(clean: DataFrame, dirty: DataFrame,
     b = dirty.select(F.col("rid").alias("rid"), sort_expr.alias("skey"),
                      F.lit("b").alias("side"))
     u = a.unionByName(b)
-    # DISTRIBUTED global rank (zipWithIndex pattern): range-partition on
-    # the sort key, rank within each partition, add per-partition offsets
-    # (a tiny driver-side cumulative sum). A bare Window.orderBy computes
-    # the whole ranking in ONE task — a serial O(n log n) bottleneck that
-    # grew with input size and capped pipeline scaling. The global rank
-    # is partitioning-independent: (skey, side, rid) is a total order.
-    npart = max(u.sparkSession.sparkContext.defaultParallelism, 8)
-    parted = (
-        u.repartitionByRange(npart, "skey", "side", "rid")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    wp = Window.partitionBy("pid").orderBy("skey", "side", "rid")
-    # materialize ONCE: the per-partition offsets below must describe the
-    # exact same range boundaries the ranked rows carry — re-evaluating
-    # the plan can resample RangePartitioner bounds (AQE-dependent) and
-    # mismatch pid↔offset, silently corrupting the global rank.
-    local = parted.withColumn("rn_local", F.row_number().over(wp)).localCheckpoint(eager=True)
-    sizes = sorted(
-        (r.pid, r.cnt)
-        for r in local.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    )
-    offsets, acc = {}, 0
-    for pid, cnt in sizes:
-        offsets[pid] = acc
-        acc += cnt
-    off_df = local.sparkSession.createDataFrame(
-        [(p, o) for p, o in offsets.items()], ["pid", "off"]
-    )
-    ranked = (
-        local.join(F.broadcast(off_df), "pid")
-        .withColumn("rn", F.col("rn_local") + F.col("off"))
-        .drop("pid", "rn_local", "off")
-    )
+    # DISTRIBUTED global rank (zipWithIndex pattern, shared helper): a
+    # bare Window.orderBy would compute the whole ranking in ONE task.
+    # The rank is partitioning-independent: (skey, side, rid) is a total
+    # order.
+    from rlerrorgenerator_spark.functions.rank import global_rank
+
+    ranked = global_rank(u, ["skey", "side", "rid"], out_col="rn")
     ranked = ranked.withColumn("band", (F.col("rn") / window).cast("long"))
     left = ranked.where(F.col("side") == "a").select(
         F.col("rid").alias("rid_a"), F.col("rn").alias("rn_a"), "band"

@@ -24,9 +24,15 @@ def label_pairs(scored: DataFrame, dirty: DataFrame) -> DataFrame:
 
 
 def pairwise_metrics(labeled: DataFrame, prob_col: str = "match_prob",
-                     threshold: float = 0.5) -> DataFrame:
+                     threshold: float = 0.5,
+                     with_auc: bool = False) -> DataFrame:
     """One-row DataFrame of tp/fp/fn/tn, precision, recall, f1, accuracy,
-    brier (`utils.R:1005-1047`)."""
+    specificity, npv, brier (`utils.R:1005-1047`).
+
+    ``with_auc=True`` additionally computes AUC via the rank statistic
+    (tie-corrected Mann-Whitney) and Gini = 2·AUC−1 — one extra bucketed
+    aggregation pass (see ``_prob_buckets``); off by default so the hot
+    pipeline path stays a single aggregation."""
     pred = F.col(prob_col) > threshold
     lab = F.col("label")
     clipped = F.least(F.greatest(F.col(prob_col), F.lit(0.0)), F.lit(1.0))
@@ -40,7 +46,7 @@ def pairwise_metrics(labeled: DataFrame, prob_col: str = "match_prob",
     )
     p = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
     r = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
-    return agg.select(
+    out = agg.select(
         "tp", "fp", "fn", "tn", "n_pairs", "brier",
         p.alias("precision"),
         r.alias("recall"),
@@ -48,7 +54,58 @@ def pairwise_metrics(labeled: DataFrame, prob_col: str = "match_prob",
         ((F.col("tp") + F.col("tn"))
          / F.greatest(F.col("tp") + F.col("tn") + F.col("fp") + F.col("fn"), F.lit(1))
          ).alias("accuracy"),
+        (F.col("tn") / F.greatest(F.col("tn") + F.col("fp"), F.lit(1))
+         ).alias("specificity"),
+        (F.col("tn") / F.greatest(F.col("tn") + F.col("fn"), F.lit(1))
+         ).alias("npv"),
     )
+    if with_auc:
+        out = out.crossJoin(auc_metrics(labeled, prob_col))
+    return out
+
+
+def _prob_buckets(labeled: DataFrame, prob_col: str, decimals: int = 9) -> DataFrame:
+    """Per-distinct-probability aggregate ``(p, n, ny)`` — the bounded
+    table every cumulative-precision scan runs over.
+
+    Scale note: the raw labeled-pairs table can be billions of rows; a
+    partition-less ``Window.orderBy`` over it is a single-task global sort
+    (the round-1 scale-killer). Aggregating per probability bucket first
+    is one shuffle with map-side combine; the windowed scan then touches
+    only distinct probability values (≤ 10^decimals+1, in practice a few
+    thousand for any real scorer/model), which is broadcast-/single-task-
+    safe by construction."""
+    return (
+        labeled.select(
+            F.round(F.col(prob_col), decimals).alias("p"),
+            F.col("label").cast("long").alias("y"),
+        )
+        .groupBy("p")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("ny"))
+    )
+
+
+def auc_metrics(labeled: DataFrame, prob_col: str = "match_prob") -> DataFrame:
+    """One-row (auc, gini): tie-corrected rank-statistic AUC
+    (`utils.R:1005-1047` computes AUC via ROCR; the Mann-Whitney form is
+    the same quantity in one aggregation + one bounded window)."""
+    from pyspark.sql import Window
+
+    per = _prob_buckets(labeled, prob_col)
+    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.withColumn(
+        "before", F.coalesce(F.sum("n").over(w), F.lit(0))
+    ).withColumn("avg_rank", F.col("before") + (F.col("n") + 1) / 2.0)
+    agg = ranked.agg(
+        F.sum(F.col("ny") * F.col("avg_rank")).alias("rank_sum"),
+        F.sum("ny").alias("npos"),
+        F.sum(F.col("n") - F.col("ny")).alias("nneg"),
+    )
+    auc = (
+        (F.col("rank_sum") - F.col("npos") * (F.col("npos") + 1) / 2.0)
+        / F.greatest(F.col("npos") * F.col("nneg"), F.lit(1))
+    )
+    return agg.select(auc.alias("auc"), (auc * 2 - 1).alias("gini"))
 
 
 def per_partition_metrics(labeled: DataFrame, prob_col: str = "match_prob",
@@ -78,42 +135,109 @@ def calc_review_pct(labeled: DataFrame, ppv_target: float = 0.95,
     highest lower threshold whose reject-set NPV ≥ npv_target; pairs with
     probability between the two need human review.
 
-    One pass: rank pairs by prob desc (accept side) / asc (reject side),
-    cumulative precision/NPV via windows, pick the qualifying bounds.
+    Two actions over the BUCKETED probability table (see ``_prob_buckets``
+    — no partition-less window over raw pairs): one collect for the
+    thresholds, one for the review count.
     """
     from pyspark.sql import Window
 
-    total = labeled.count()
-    wd = Window.orderBy(F.desc(prob_col))
-    acc = (
-        labeled.select(prob_col, F.col("label").cast("long").alias("y"))
-        .withColumn("ctp", F.sum("y").over(wd))
-        .withColumn("cn", F.count(F.lit(1)).over(wd))
-        .withColumn("ppv", F.col("ctp") / F.col("cn"))
+    per = _prob_buckets(labeled, prob_col).localCheckpoint(eager=False)
+    wd = Window.orderBy(F.desc("p"))  # bounded: distinct probs only
+    wa = Window.orderBy(F.asc("p"))
+    cum = (
+        per.withColumn("ppv", F.sum("ny").over(wd) / F.sum("n").over(wd))
+        .withColumn(
+            "npv", F.sum(F.col("n") - F.col("ny")).over(wa) / F.sum("n").over(wa)
+        )
     )
-    upper_row = acc.where(F.col("ppv") >= ppv_target).agg(
-        F.min(prob_col).alias("t")
+    row = cum.agg(
+        F.min(F.when(F.col("ppv") >= ppv_target, F.col("p"))).alias("upper"),
+        F.max(F.when(F.col("npv") >= npv_target, F.col("p"))).alias("lower"),
+        F.sum("n").alias("total"),
     ).collect()[0]
-    upper = upper_row["t"] if upper_row["t"] is not None else 1.0
-    wa = Window.orderBy(F.asc(prob_col))
-    rej = (
-        labeled.select(prob_col, (~F.col("label")).cast("long").alias("yn"))
-        .withColumn("ctn", F.sum("yn").over(wa))
-        .withColumn("cn", F.count(F.lit(1)).over(wa))
-        .withColumn("npv", F.col("ctn") / F.col("cn"))
+    upper = row["upper"] if row["upper"] is not None else 1.0
+    lower = row["lower"] if row["lower"] is not None else 0.0
+    total = row["total"] or 0
+    n_review = (
+        per.where((F.col("p") > lower) & (F.col("p") < upper))
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n")).collect()[0]["n"]
     )
-    lower_row = rej.where(F.col("npv") >= npv_target).agg(
-        F.max(prob_col).alias("t")
-    ).collect()[0]
-    lower = lower_row["t"] if lower_row["t"] is not None else 0.0
-    n_review = labeled.where(
-        (F.col(prob_col) > lower) & (F.col(prob_col) < upper)
-    ).count()
     spark = labeled.sparkSession
     return spark.createDataFrame(
-        [(float(lower), float(upper), n_review, total,
+        [(float(lower), float(upper), int(n_review), int(total),
           n_review / max(total, 1))],
         ["lower_threshold", "upper_threshold", "n_review", "n_pairs", "review_pct"],
+    )
+
+
+def review_pct_grid(labeled: DataFrame,
+                    targets: list[float] | None = None,
+                    prob_col: str = "match_prob") -> DataFrame:
+    """Review-percent sweep at PPV/NPV ∈ {0.90, 0.91, …, 1.00} — the
+    reference's grid (`/root/reference/benchmarking/utils.R:1050-1081`,
+    swept per target in `paper_flow_dob_latest.Rmd`). ONE pass: the
+    bucketed cumulative table is computed once and every target is a
+    conditional aggregate over it (not one job per target)."""
+    from pyspark.sql import Window
+
+    if targets is None:
+        targets = [round(0.90 + 0.01 * i, 2) for i in range(11)]
+    per = _prob_buckets(labeled, prob_col)
+    wd = Window.orderBy(F.desc("p"))
+    wa = Window.orderBy(F.asc("p"))
+    cum = (
+        per.withColumn("ppv", F.sum("ny").over(wd) / F.sum("n").over(wd))
+        .withColumn(
+            "npv", F.sum(F.col("n") - F.col("ny")).over(wa) / F.sum("n").over(wa)
+        )
+        .withColumn("cum_ge", F.sum("n").over(wd))   # pairs with prob >= p
+        .withColumn("cum_le", F.sum("n").over(wa))   # pairs with prob <= p
+    )
+    aggs = [F.sum("n").alias("total")]
+    for t in targets:
+        key = f"{t:.2f}".replace(".", "_")
+        # accepted at target t: largest accept-set (prob >= upper) with
+        # cumulative precision >= t; rejected: largest reject-set with NPV >= t
+        aggs.append(F.max(F.when(F.col("ppv") >= t, F.col("cum_ge")))
+                    .alias(f"acc_{key}"))
+        aggs.append(F.max(F.when(F.col("npv") >= t, F.col("cum_le")))
+                    .alias(f"rej_{key}"))
+    row = cum.agg(*aggs).collect()[0]
+    total = row["total"] or 0
+    out = []
+    for t in targets:
+        key = f"{t:.2f}".replace(".", "_")
+        acc = row[f"acc_{key}"] or 0
+        rej = row[f"rej_{key}"] or 0
+        n_review = max(total - acc - rej, 0)
+        out.append((t, int(acc), int(rej), int(n_review), int(total),
+                    n_review / max(total, 1)))
+    return labeled.sparkSession.createDataFrame(
+        out, ["target", "n_accept", "n_reject", "n_review", "n_pairs", "review_pct"]
+    )
+
+
+def roc_table(labeled: DataFrame, prob_col: str = "match_prob") -> DataFrame:
+    """ROC points (threshold, tpr, fpr, precision) per distinct probability
+    (`utils.R:1163-1190` builds the same table via ROCR). Bucketed scan —
+    one shuffle + one bounded window."""
+    from pyspark.sql import Window
+
+    per = _prob_buckets(labeled, prob_col)
+    wd = Window.orderBy(F.desc("p"))
+    tot = per.agg(F.sum("ny").alias("tot_pos"),
+                  F.sum(F.col("n") - F.col("ny")).alias("tot_neg"))
+    cum = (
+        per.withColumn("ctp", F.sum("ny").over(wd))
+        .withColumn("cfp", F.sum(F.col("n") - F.col("ny")).over(wd))
+        .crossJoin(F.broadcast(tot))
+    )
+    return cum.select(
+        F.col("p").alias("threshold"),
+        (F.col("ctp") / F.greatest("tot_pos", F.lit(1))).alias("tpr"),
+        (F.col("cfp") / F.greatest("tot_neg", F.lit(1))).alias("fpr"),
+        (F.col("ctp") / F.greatest(F.col("ctp") + F.col("cfp"), F.lit(1))
+         ).alias("precision"),
     )
 
 
@@ -140,19 +264,28 @@ def find_threshold_for_metric(labeled: DataFrame, metric: str = "precision",
                               target: float = 0.99,
                               prob_col: str = "match_prob") -> float | None:
     """Lowest threshold achieving ``metric ≥ target``
-    (`utils.R:1121-1160`) — computed in one pass: sort unique probs desc,
-    cumulative tp/fp via window, pick the smallest qualifying threshold."""
+    (`utils.R:1121-1160`) — one action over the BUCKETED probability table
+    (`_prob_buckets`; no partition-less window over raw pairs): cumulative
+    tp/n via a bounded window, total positives via a window aggregate in
+    the same plan, min qualifying threshold via conditional agg."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc(prob_col))
+    per = _prob_buckets(labeled, prob_col)
+    wd = Window.orderBy(F.desc("p"))
+    wall = Window.partitionBy()  # whole-table aggregate, no extra action
     cum = (
-        labeled.select(prob_col, F.col("label").cast("long").alias("y"))
-        .withColumn("ctp", F.sum("y").over(w))
-        .withColumn("cn", F.count(F.lit(1)).over(w))
+        per.withColumn("ctp", F.sum("ny").over(wd))
+        .withColumn("cn", F.sum("n").over(wd))
+        .withColumn("tot_pos", F.sum("ny").over(wall))
     )
-    total_pos = labeled.where("label").count()
     cum = cum.withColumn("precision", F.col("ctp") / F.col("cn")).withColumn(
-        "recall", F.col("ctp") / F.lit(max(total_pos, 1))
+        "recall", F.col("ctp") / F.greatest("tot_pos", F.lit(1))
     )
-    ok = cum.where(F.col(metric) >= target).agg(F.min(prob_col).alias("t")).collect()
+    # precision rises with threshold → lowest qualifying threshold gives
+    # max recall at the target; recall falls with threshold → highest
+    # qualifying threshold gives max precision at the target.
+    pick = F.min if metric == "precision" else F.max
+    ok = cum.agg(
+        pick(F.when(F.col(metric) >= target, F.col("p"))).alias("t")
+    ).collect()
     return ok[0]["t"] if ok else None

@@ -11,11 +11,11 @@ Mirrors `/root/reference/benchmarking/utils.R`:
   distances, z-scaled name frequencies, fname↔lname swap, gender
   composition, race flags, potential-marriage flag.
 
-Spark design: every feature except Jaro-Winkler is a built-in expression
-(levenshtein stands in for stringdist's dl — they differ only on
-transposed-adjacent edits; JW is the package pandas UDF). Joins are
+Spark design: categorical/date features are built-in expressions; the
+dl (restricted Damerau-Levenshtein / OSA) and Jaro-Winkler distances are
+Arrow-batched pandas UDFs matching stringdist's methods. Joins are
 equi-joins Catalyst plans as broadcast/SMJ; the hard-negative cap is a
-distributed top-k.
+distributed global rank (functions/rank.py), not a single-task top-k.
 """
 
 from __future__ import annotations
@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rlerrorgenerator_spark.functions.similarity import jaro_winkler_udf, norm_levenshtein
+from rlerrorgenerator_spark.functions.similarity import (
+    jaro_winkler_udf,
+    norm_levenshtein,
+    osa_udf,
+)
 from rlerrorgenerator_spark.functions.stats import add_count_name
 
 LINK_FIELDS = ["fname", "lname", "dob", "gender_code", "race_code"]
@@ -79,12 +83,22 @@ def generate_person_pairs(clean: DataFrame, dirty: DataFrame,
         )
     )
     n_matches = truth.count()
+    # Hard-negative cap via the DISTRIBUTED global rank — a plain
+    # orderBy().limit(k) with data-dependent k in the millions funnels
+    # the final ordering into one task (round-1 scale-killer). The rank
+    # is exact and partitioning-independent (hash tie-break totalizes
+    # the order), so the selected pair set is identical.
+    from rlerrorgenerator_spark.functions.rank import global_rank
+
+    ranked = global_rank(
+        negs_scored.select(
+            "rid_a", "rid_b", "__score",
+            F.xxhash64(F.lit(seed), F.col("rid_a"), F.col("rid_b")).alias("__tb"),
+        ),
+        [F.desc("__score"), F.asc("__tb")],
+    )
     hard_negs = (
-        negs_scored.orderBy(
-            F.desc("__score"),
-            F.xxhash64(F.lit(seed), F.col("rid_a"), F.col("rid_b")),
-        )
-        .limit(int(neg_ratio * n_matches))
+        ranked.where(F.col("rn") <= int(neg_ratio * n_matches))
         .select("rid_a", "rid_b", F.lit(False).alias("label"))
     )
     return truth.unionByName(hard_negs)
@@ -103,18 +117,25 @@ def add_person_features(pairs: DataFrame, clean: DataFrame, dirty: DataFrame) ->
         return norm_levenshtein(F.coalesce(F.col(c1), F.lit("")),
                                 F.coalesce(F.col(c2), F.lit("")))
 
+    def dl(c1, c2):
+        # restricted Damerau-Levenshtein (stringdist 'dl'/'osa'), the
+        # reference's primary distance (`utils.R:168-187,223-226`) —
+        # diverges from lev exactly on the tpose operator's adjacent
+        # transpositions ("1990" vs "9190": dl=1, lev=2)
+        return osa_udf(F.coalesce(c1, F.lit("")), F.coalesce(c2, F.lit("")))
+
     d_a, d_b = F.col("dob_a"), F.col("dob_b")
     feats = (
         wide
-        # dob component distances (`:223-226`; dl≈lev here)
-        .withColumn("metric_dob_full", norm_levenshtein(d_a.cast("string"), d_b.cast("string")))
+        # dob component distances (`:223-226`, stringdist dl)
+        .withColumn("metric_dob_full", dl(d_a.cast("string"), d_b.cast("string")))
         .withColumn("metric_dob_year",
-                    norm_levenshtein(F.year(d_a).cast("string"), F.year(d_b).cast("string")))
+                    dl(F.year(d_a).cast("string"), F.year(d_b).cast("string")))
         .withColumn("metric_dob_month",
-                    norm_levenshtein(F.month(d_a).cast("string"), F.month(d_b).cast("string")))
+                    dl(F.month(d_a).cast("string"), F.month(d_b).cast("string")))
         .withColumn("metric_dob_day",
-                    norm_levenshtein(F.dayofmonth(d_a).cast("string"),
-                                     F.dayofmonth(d_b).cast("string")))
+                    dl(F.dayofmonth(d_a).cast("string"),
+                       F.dayofmonth(d_b).cast("string")))
         # day↔month swap flag (`:227-230`)
         .withColumn(
             "metric_dob_swap",
@@ -130,10 +151,11 @@ def add_person_features(pairs: DataFrame, clean: DataFrame, dirty: DataFrame) ->
             F.abs(F.floor(F.datediff(sd, d_a) / 365.25)
                   - F.floor(F.datediff(sd, d_b) / 365.25)).cast("double"),
         )
-    # name distances {dl≈lev, jw, soundex} × {fname, lname} (`:235-245`)
+    # name distances {dl, jw, soundex} × {fname, lname} (`:235-245`)
     for fld in ("fname", "lname"):
         feats = (
-            feats.withColumn(f"metric_{fld}_lev", lev(f"{fld}_a", f"{fld}_b"))
+            feats.withColumn(f"metric_{fld}_lev",
+                             dl(F.col(f"{fld}_a"), F.col(f"{fld}_b")))
             .withColumn(
                 f"metric_{fld}_jw",
                 jaro_winkler_udf(F.coalesce(F.col(f"{fld}_a"), F.lit("")),

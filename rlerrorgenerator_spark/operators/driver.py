@@ -134,8 +134,16 @@ def mess_data(
             raise KeyError(f"unknown error transform {row.error!r}; "
                            f"registered: {sorted(REGISTRY)}")
         amount = row.amount * amount_mult
-        n_errors = resolve_n_errors(min(amount, 1.0) if row.amount < 1 else amount, n)
-        rate = min(amount, 1.0) if row.amount < 1 else min(amount / max(n, 1), 1.0)
+        if row.amount < 1:
+            # fractional row: calibration can scale it past 1.0 — clamp the
+            # RATE to 1.0 and make the exact-k count saturate at n (naively
+            # passing the clamped 1.0 into resolve_n_errors would hit the
+            # absolute-count branch and inject exactly ONE error).
+            rate = min(amount, 1.0)
+            n_errors = n if rate >= 1.0 else resolve_n_errors(rate, n)
+        else:
+            n_errors = resolve_n_errors(amount, n)
+            rate = min(amount / max(n, 1), 1.0)
         kwargs = dict(row.kwargs)
         # resolve named lookup dims from the provided dict
         for key in ("lookup", "surnames", "names"):

@@ -77,6 +77,7 @@ def run_linkage(
     compute_clusters: bool = True,
     exact: bool = True,
     body_tokens: tuple[int, int] = (20, 120),
+    amount_mult: float = 1.0,
 ) -> LinkageResult:
     """Full benchmark run; returns every stage as a DataFrame.
 
@@ -92,6 +93,7 @@ def run_linkage(
     clean = ckpt.stage(prep_pages(pages), "clean")
     cfg = config or default_error_config()
     dirty, lineage = mess_data(clean, cfg, seed=seed, ckpt=ckpt, exact=exact,
+                               amount_mult=amount_mult,
                                checkpoint_every=1 if exact else 4)
     candidates = ckpt.stage(
         build_candidates(clean, dirty, use_minhash=use_minhash), "candidates"

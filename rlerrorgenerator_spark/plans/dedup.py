@@ -147,57 +147,84 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document: sign-sum of token-hash bits.
+    """64-bit SimHash per document as TWO unsigned 32-bit words
+    ``(id, sim_lo, sim_hi)``: sign-sum of token-hash bits.
 
-    Built-in only: explode tokens → xxhash64 → per-bit ±1 aggregation via
-    64 conditional sums → reassemble the sketch. One shuffle (groupBy id).
+    Built-in only: explode tokens → md5-derived bit words → per-bit ±1
+    aggregation via 64 conditional sums → reassemble. One shuffle
+    (groupBy id, map-side partial agg). The md5-derived 32-bit halves
+    (``('0x'||substr(md5(t),17,8))::BIGINT`` in DuckDB ==
+    ``conv(substring(md5(t),17,8),16,10)`` here) make the sketch
+    bit-identical cross-engine — the same oracle discipline as
+    ``_md5_u64`` — and two 32-bit words avoid the sign-bit divergence a
+    single int64 sketch would have at bit 63.
     """
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t"))
-    h = tok.withColumn("h", F.xxhash64("t"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
+    hx = F.md5("t")
+    h = tok.select(
+        "id",
+        F.conv(F.substring(hx, 17, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(hx, 25, 8), 16, 10).cast("long").alias("lo"),
+    )
+    aggs = []
+    for word in ("lo", "hi"):
+        aggs += [
+            F.sum(
+                F.when(F.shiftright(F.col(word), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"{word}{i}")
+            for i in range(32)
+        ]
     sums = h.groupBy("id").agg(*aggs)
-    sketch = F.lit(0).cast("long")
-    for i in range(64):
-        sketch = sketch + F.when(
-            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-    return sums.select("id", sketch.alias("simhash"))
+    sketches = []
+    for word in ("lo", "hi"):
+        sk = F.lit(0).cast("long")
+        for i in range(32):
+            sk = sk + F.when(
+                F.col(f"{word}{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        sketches.append(sk.alias(f"sim_{word}"))
+    return sums.select("id", *sketches)
 
 
 def simhash_dup_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", max_hamming: int = 6) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Banding: split the 64-bit sketch into 4 × 16-bit bands; any pair
-    within hamming ≤ 3·16/... (pigeonhole: ≤3 differing bands ⇒ one band
-    equal) joins on an equal band, then exact hamming filters via
-    bit_count(xor).
+    Banding: split the 64-bit sketch into 8 × 8-bit bands; by pigeonhole
+    any pair with hamming ≤ 7 (> the default 6) agrees on at least one
+    band, so candidate generation has NO recall gap at the default; exact
+    hamming then filters via bit_count(xor) per word. ``max_hamming > 7``
+    would need narrower bands — asserted, not silently lossy.
     """
+    assert max_hamming <= 7, "8x8-bit banding guarantees recall only for hamming<=7"
     sk = simhash(df, text_col, id_col)
-    bands = [
-        (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)))
-        .alias(f"band_{i}")
-        for i in range(4)
-    ]
-    sig = sk.select("id", "simhash", *bands)
-    out = None
-    for i in range(4):
-        part = sig.select("id", "simhash", F.lit(i).alias("band"),
-                          F.col(f"band_{i}").alias("bkey"))
-        out = part if out is None else out.unionByName(part)
-    a = out.toDF("id_a", "sim_a", "band", "bkey")
-    b = out.toDF("id_b", "sim_b", "band", "bkey")
+    # 8 bands of 8 bits: bands 0-3 from sim_lo, 4-7 from sim_hi
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(j).alias("band"),
+            F.shiftrightunsigned(
+                F.col("sim_lo" if j < 4 else "sim_hi"), 8 * (j % 4)
+            ).bitwiseAND(F.lit(255)).alias("bkey"),
+        )
+        for j in range(8)
+    ])
+    keyed = sk.select("id", "sim_lo", "sim_hi", F.explode(band_structs).alias("bk")).select(
+        "id", "sim_lo", "sim_hi",
+        F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"),
+    )
+    a = keyed.toDF("id_a", "lo_a", "hi_a", "band", "bkey")
+    b = keyed.toDF("id_b", "lo_b", "hi_b", "band", "bkey")
     return (
         a.join(b, ["band", "bkey"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
+        .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .withColumn(
+            "hamming",
+            (F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+             + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))).cast("long"),
+        )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

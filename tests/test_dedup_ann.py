@@ -52,13 +52,15 @@ def test_minhash_pairs(corpus):
 def test_simhash_properties(spark, corpus):
     from rlerrorgenerator_spark.plans.dedup import simhash, simhash_dup_pairs
 
-    sk = {r.id: r.simhash for r in simhash(corpus).collect()}
+    sk = {r.id: (r.sim_lo, r.sim_hi) for r in simhash(corpus).collect()}
     assert sk[1] == sk[2]  # identical text → identical sketch
+    for lo, hi in sk.values():  # 32-bit unsigned words
+        assert 0 <= lo < 2**32 and 0 <= hi < 2**32
     pairs = {(r.id_a, r.id_b): r.hamming
-             for r in simhash_dup_pairs(corpus, max_hamming=10).collect()}
+             for r in simhash_dup_pairs(corpus, max_hamming=7).collect()}
     assert pairs[(1, 2)] == 0
     if (1, 3) in pairs:
-        assert pairs[(1, 3)] <= 10
+        assert pairs[(1, 3)] <= 7
 
 
 def test_cosine_topk_exact(spark):

@@ -141,3 +141,28 @@ def test_resume_from_checkpoint(spark, tmp_path):
     s1 = sorted(map(tuple, r1.scored.select("rid_a", "rid_b", "match_prob").collect()))
     s2 = sorted(map(tuple, r2.scored.select("rid_a", "rid_b", "match_prob").collect()))
     assert s1 == s2
+
+
+def test_osa_distance_known_values():
+    """dl/osa vs lev divergence on adjacent transpositions (tpose edits)."""
+    from rlerrorgenerator_spark.functions.similarity import osa_distance
+
+    assert osa_distance("pear", "paer") == 1      # lev would be 2
+    assert osa_distance("1990", "9190") == 1      # year transpose
+    assert osa_distance("12", "21") == 1
+    assert osa_distance("abc", "abc") == 0
+    assert osa_distance("abc", "") == 3
+    assert osa_distance("kitten", "sitting") == 3  # == lev when no tpose
+    assert osa_distance("ca", "abc") == 3          # OSA (true DL would be 2)
+
+
+def test_osa_udf_matches_scalar(spark):
+    from rlerrorgenerator_spark.functions.similarity import osa_distance, osa_udf
+    from pyspark.sql import functions as F
+
+    rows = [("pear", "paer"), ("smith", "smiht"), ("jon", "john"), ("a", "b")]
+    df = spark.createDataFrame(rows, ["s1", "s2"])
+    got = df.select("s1", "s2", osa_udf(F.col("s1"), F.col("s2")).alias("d")).collect()
+    for r in got:
+        expect = osa_distance(r.s1, r.s2) / max(len(r.s1), len(r.s2), 1)
+        assert r.d == expect
