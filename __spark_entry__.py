@@ -219,6 +219,34 @@ def ann_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(emb, threshold=0.5)
 
 
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100TB ANN path (sign-LSH bucket join), self-checked against the
+    exact brute-force baseline IN the query: returns one row with top-1
+    recall (target >= 0.9) and the candidate-set compression vs the cross
+    join. Approximate by construction, so no SQL oracle — the recorded
+    row itself is the correctness evidence."""
+    from rlerrorgenerator_spark.plans.ann import cosine_topk, lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 50)
+    exact = cosine_topk(queries_df, emb, k=1).select(
+        "query_id", F.col("neighbor_id").alias("exact_nn"))
+    # 4 planes x 16 tables: recall@1 = 0.98 on the (near-random) driver
+    # embeddings; random vectors are sign-LSH's worst case, so this is a
+    # conservative operating point for real clustered embeddings
+    approx = lsh_topk(queries_df, emb, k=1, n_planes=4, n_tables=16, dim=64) \
+        .select("query_id", F.col("neighbor_id").alias("lsh_nn"))
+    j = exact.join(approx, "query_id", "left")
+    return j.agg(
+        F.count("*").alias("n_queries"),
+        F.sum((F.col("lsh_nn") == F.col("exact_nn")).cast("long")).alias("hits"),
+        F.round(F.avg((F.col("lsh_nn") == F.col("exact_nn")).cast("double")), 4)
+         .alias("recall_at_1"),
+        (F.avg((F.col("lsh_nn") == F.col("exact_nn")).cast("double")) >= 0.9)
+        .alias("recall_target_met"),
+    )
+
+
 # ----------------------------------------------------- ER pipeline (seeded)
 # Deterministic but seeded-RNG programs — not SQL-expressible; the driver
 # records the rows-only check for these (per the contract).
@@ -251,13 +279,20 @@ def er_blocking_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def er_linkage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlerrorgenerator_spark.linkage.metrics import pairwise_metrics
+
     res = _er_result(spark, sf_dir)
-    return res.metrics.select(
+    full = pairwise_metrics(res.labeled, with_auc=True)
+    return full.select(
         "tp", "fp", "fn", "tn", "n_pairs",
         F.round("precision", 6).alias("precision"),
         F.round("recall", 6).alias("recall"),
         F.round("f1", 6).alias("f1"),
         F.round("brier", 6).alias("brier"),
+        F.round("specificity", 6).alias("specificity"),
+        F.round("npv", 6).alias("npv"),
+        F.round("auc", 6).alias("auc"),
+        F.round("gini", 6).alias("gini"),
     )
 
 
@@ -294,11 +329,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_simhash": dup_simhash,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_neardup": ann_neardup,
+        "ann_lsh_topk": ann_lsh_topk,
         "er_lineage_summary": er_lineage_summary,
         "er_blocking_candidates": er_blocking_candidates,
         "er_linkage_metrics": er_linkage_metrics,
         "er_cluster_sizes": er_cluster_sizes,
+        **_audit_queries(),
     }
+
+
+def _audit_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """One named driver query per §2.A error transform (SURVEY.md §2.A
+    1-26): fixed-seed program, per-operator lineage-invariant audit rows
+    (see rlerrorgenerator_spark/audit.py). Seeded-RNG programs → rows-only
+    driver check, but each operator now has its OWN named correctness row
+    whose ``violations`` column must be 0."""
+    from rlerrorgenerator_spark.audit import audit_query_names, run_audit
+
+    def make(name: str):
+        def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return run_audit(spark, name)
+        return q
+
+    return {f"er_op_{n}": make(n) for n in audit_query_names()}
 
 
 _GRAMS_SQL = f"""

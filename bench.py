@@ -29,6 +29,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # noqa: F401  (pandas-UDF type hints resolve here)
+
 
 def _fresh_spark(cores: int, shuffle_parts: int | None = None):
     from pyspark.sql import SparkSession
@@ -47,6 +49,24 @@ def _fresh_spark(cores: int, shuffle_parts: int | None = None):
     return s
 
 
+def _warmup(spark) -> None:
+    """Spin up executor threads, Python UDF workers, Arrow codecs and
+    whole-stage codegen BEFORE the timed region — cluster/JVM startup is
+    a fixed cost that exists once per cluster, not per query, so leaving
+    it inside the timing would mis-measure steady-state throughput (and
+    at two parallelism levels it biases the scaling ratio)."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _wu(s: pd.Series) -> pd.Series:
+        return s
+
+    df = spark.range(0, 20000,
+                     numPartitions=spark.sparkContext.defaultParallelism)
+    df.select(F.sum(_wu(F.col("id"))).alias("s")).collect()
+    df.groupBy((F.col("id") % 7).alias("k")).count().collect()
+
+
 def _run_er_pipeline(spark, sf_dir: str, n_rows: int = 0) -> dict:
     """One full linkage run; returns timings + candidate-pair count.
 
@@ -62,6 +82,7 @@ def _run_er_pipeline(spark, sf_dir: str, n_rows: int = 0) -> dict:
     else:
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         pages, exact = pages_from_documents(docs), True
+    _warmup(spark)
     t0 = time.time()
     res = run_linkage(spark, n_rows=n_rows or 2000, pages=pages, seed=42,
                       compute_clusters=True, exact=exact,

@@ -145,21 +145,28 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
     112s for 12M shingles vs 1.3s this way) — and MinHash doesn't need
     distinct: min over a multiset equals min over its set."""
     k = max(2, shingle_k - 1)  # word shingles (see _shingles rationale)
+    # STRING-FREE shingles (same trick as features.attach_pair_attrs):
+    # hash tokens once, shingle hash = multi-arg xxhash64 over k
+    # consecutive token hashes — no slice/concat string building per
+    # position (the dominant cost of the string form at 60k+ rows).
     toks = df.select(
         F.col(id_col).alias("__id"),
-        F.split(F.lower(F.regexp_replace(text_col, r"\s+", " ")), " ").alias("__toks"),
+        F.transform(
+            F.split(F.lower(F.regexp_replace(text_col, r"\s+", " ")), " "),
+            lambda t: F.xxhash64(t),
+        ).alias("__th"),
     )
     pos = toks.select(
-        "__id", "__toks",
+        "__id", "__th",
         F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("__toks") - F.lit(k - 1), F.lit(1)))
+            F.sequence(F.lit(1), F.greatest(F.size("__th") - F.lit(k - 1), F.lit(1)))
         ).alias("__i"),
     )
     sh = pos.select(
         "__id",
         F.xxhash64(
             F.lit(f"mh{seed}"),
-            F.concat_ws(" ", F.expr(f"slice(__toks, __i, {k})")),
+            *[F.try_element_at(F.col("__th"), F.col("__i") + j) for j in range(k)],
         ).alias("__h"),
     )
     aggs = [

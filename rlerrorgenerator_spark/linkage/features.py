@@ -53,15 +53,23 @@ def attach_pair_attrs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame)
 
     def sided(df: DataFrame, key_col: str, alias: str) -> DataFrame:
         k = 4
+        # STRING-FREE shingle hashing: hash each token once, then derive
+        # the k-shingle hash from k consecutive token hashes with one
+        # multi-arg xxhash64 — no slice/concat string building. Building
+        # shingle STRINGS (concat_ws(slice(toks))) measured ~45s of a 55s
+        # score stage at 60k rows; this form is pure long arithmetic over
+        # a bound array attribute (no recompute inside the lambda).
         step = df.withColumn(
             "__toks__", F.split(F.coalesce("text", F.lit("")), " ")
-        )
-        n = F.greatest(F.size("__toks__") - F.lit(k - 1), F.lit(1))
-        sh_str = F.transform(
+        ).withColumn("__th__", F.transform(F.col("__toks__"), lambda t: F.xxhash64(t)))
+        n = F.greatest(F.size("__th__") - F.lit(k - 1), F.lit(1))
+        # try_element_at: docs shorter than k tokens yield nulls past the
+        # end, which xxhash64 skips — same set semantics, no ANSI throw
+        hashed = F.transform(
             F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(" ", F.slice(F.col("__toks__"), i, k)),
+            lambda i: F.xxhash64(*[F.try_element_at(F.col("__th__"), i + j)
+                                   for j in range(k)]),
         )
-        hashed = F.transform(sh_str, lambda s: F.xxhash64(s))
         return step.select(
             F.col(key_col).alias(f"rid_{alias}"),
             *[F.col(c).alias(f"{c}_{alias}") for c in PAIR_COLS],

@@ -22,14 +22,26 @@ def train_match_model(train: DataFrame, feature_cols: list[str],
                       seed: int = 42):
     """Fit an MLlib pipeline: impute-0 → assemble → scale → classifier.
 
-    ``model``: 'logreg' | 'rf' (mirrors the reference's linear-SVM-ish /
-    RF pair; `medianImpute` becomes fill-0 on z-scaled features,
-    `utils.R:929-934` fill_na_0).
+    ``model`` mirrors the reference's caret family
+    (`utils.R:916-995`): 'rf' (RF), 'svm_linear' (LinearSVC ≈ svmLinear),
+    'mlp' (MultilayerPerceptron ≈ the keras NN at
+    `paper_flow_dob_latest.Rmd:209-292`), 'logreg' (probability-emitting
+    linear default; `medianImpute` becomes fill-0 on z-scaled features,
+    `utils.R:929-934` fill_na_0). svmRadial has no MLlib kernel-SVM
+    equivalent — the MLP covers the non-linear slot.
     """
     from pyspark.ml import Pipeline
-    from pyspark.ml.classification import LogisticRegression, RandomForestClassifier
+    from pyspark.ml.classification import (
+        LinearSVC,
+        LogisticRegression,
+        MultilayerPerceptronClassifier,
+        RandomForestClassifier,
+    )
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 
+    if model not in ("logreg", "rf", "svm_linear", "mlp"):
+        raise ValueError(f"unknown model {model!r}: "
+                         "use logreg | rf | svm_linear | mlp")
     prepared = train.fillna(0.0, subset=feature_cols).withColumn(
         "__label", F.col(label_col).cast("double")
     )
@@ -40,6 +52,17 @@ def train_match_model(train: DataFrame, feature_cols: list[str],
         clf = RandomForestClassifier(
             featuresCol="__features", labelCol="__label",
             numTrees=50, maxDepth=8, seed=seed,  # caret grid ntree=350 shrunk
+            probabilityCol="probability",
+        )
+    elif model == "svm_linear":
+        clf = LinearSVC(featuresCol="__features", labelCol="__label",
+                        maxIter=50, regParam=0.01)
+    elif model == "mlp":
+        # input layer = |features|; two hidden layers like the keras NN
+        # (`paper_flow_dob_latest.Rmd:209-292` dense 32/16)
+        clf = MultilayerPerceptronClassifier(
+            featuresCol="__features", labelCol="__label",
+            layers=[len(feature_cols), 32, 16, 2], maxIter=100, seed=seed,
             probabilityCol="probability",
         )
     else:
@@ -58,8 +81,17 @@ def predict_match_prob(model, pairs: DataFrame, feature_cols: list[str],
 
     prepared = pairs.fillna(0.0, subset=feature_cols)
     scored = model.transform(prepared)
+    if "probability" in scored.columns:
+        prob = vector_to_array("probability")[1]
+    else:
+        # margin classifiers (LinearSVC): squash the decision margin
+        # through a sigmoid (Platt-style, unit scale) so the 0.5 rule
+        # coincides with the sign of the margin
+        margin = vector_to_array("rawPrediction")[1]
+        prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
     return (
-        scored.withColumn("match_prob", vector_to_array("probability")[1])
+        scored.withColumn("match_prob", prob)
         .withColumn("prediction", (F.col("match_prob") > threshold))
-        .drop("__raw", "__features", "probability", "rawPrediction")
+        .drop("__raw", "__features", "probability", "rawPrediction",
+              "prediction_raw")
     )

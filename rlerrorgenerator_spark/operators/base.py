@@ -39,6 +39,39 @@ LINEAGE_SCHEMA = T.StructType(
     ]
 )
 
+# Accumulated-lineage column (Bernoulli scale path): instead of one lazy
+# lineage DataFrame branch per stage — each re-running every pandas-UDF
+# stage since the last checkpoint when finally materialized (quadratic
+# re-execution; the round-1 inject-stage scaling killer) — the dirty
+# table carries its own lineage as an array<struct> column appended in
+# the SAME projection as the edit. One pass computes dirty AND lineage;
+# the driver explodes the column once at the end.
+LINEAGE_ARRAY_COL = "__lineage"
+LINEAGE_ENTRY_TYPE = (
+    "array<struct<field:string,error:string,before:string,after:string,ts:bigint>>"
+)
+
+
+def lineage_entry(col: str, error: str, before: Column, after: Column, ts: int) -> Column:
+    return F.struct(
+        F.lit(col).alias("field"),
+        F.lit(error).alias("error"),
+        before.cast("string").alias("before"),
+        after.cast("string").alias("after"),
+        F.lit(ts).cast("long").alias("ts"),
+    )
+
+
+def union_lineage(dfs: list) -> DataFrame | None:
+    """Union explicit lineage branches, ignoring accumulate-mode Nones."""
+    real = [d for d in dfs if d is not None]
+    if not real:
+        return None
+    out = real[0]
+    for d in real[1:]:
+        out = out.unionByName(d)
+    return out
+
 # name -> transform fn; mirrors the reference's by-name dynamic dispatch
 # from the error-table config (`/root/reference/R/1_error.R:95-100`).
 REGISTRY: dict[str, Callable] = {}
@@ -119,7 +152,8 @@ def apply_cell_edit(
     new_value: Column,
     error: str,
     ts: int,
-) -> tuple[DataFrame, DataFrame]:
+    lineage_after: Column | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
     """Overwrite ``col`` with ``new_value`` on selected rows; emit lineage.
 
     Two selection forms:
@@ -133,15 +167,37 @@ def apply_cell_edit(
     - ``selected`` is a key DataFrame (exact-k path): ``new_value`` is
       evaluated ONLY over the semi-joined selected rows, then the k-row
       edit set joins back (broadcast under the session threshold/AQE).
+
+    Lineage: when ``df`` carries the accumulated-lineage array column
+    (Bernoulli path; see ``LINEAGE_ARRAY_COL``), the entry is appended in
+    the SAME projection and the returned lineage DataFrame is ``None``;
+    otherwise an explicit lineage DataFrame is returned.
+    ``lineage_after`` overrides the recorded ``after`` value (e.g.
+    ``make_missing`` records ``""`` per the reference convention).
     """
+    accumulate = LINEAGE_ARRAY_COL in df.columns
+
     if isinstance(selected, Column):
         tmp = df.withColumn("__sel", selected).withColumn("__after", new_value)
+        after_rec = lineage_after if lineage_after is not None else F.col("__after")
+        if accumulate:
+            entry = lineage_entry(col, error, F.col(col), after_rec, ts)
+            out = tmp.withColumn(
+                LINEAGE_ARRAY_COL,
+                F.when(F.col("__sel"),
+                       F.array_append(F.col(LINEAGE_ARRAY_COL), entry))
+                .otherwise(F.col(LINEAGE_ARRAY_COL)),
+            )
+            out = out.withColumn(
+                col, F.when(F.col("__sel"), F.col("__after")).otherwise(F.col(col))
+            ).drop("__sel", "__after")
+            return out, None
         lineage_new = tmp.where(F.col("__sel")).select(
             F.col(KEY).alias("rid"),
             F.lit(col).alias("field"),
             F.lit(error).alias("error"),
             F.col(col).cast("string").alias("before"),
-            F.col("__after").cast("string").alias("after"),
+            after_rec.cast("string").alias("after"),
             F.lit(ts).cast("long").alias("ts"),
         )
         out = tmp.withColumn(
@@ -155,18 +211,30 @@ def apply_cell_edit(
         F.col(col).cast("string").alias("__before"),
         F.col("__after"),
     )
-    lineage_new = edited.select(
-        F.col(KEY).alias("rid"),
-        F.lit(col).alias("field"),
-        F.lit(error).alias("error"),
-        F.col("__before").alias("before"),
-        F.col("__after").cast("string").alias("after"),
-        F.lit(ts).cast("long").alias("ts"),
-    )
+    after_rec = (lineage_after if lineage_after is not None
+                 else F.col("__after").cast("string"))
     patch = edited.select(KEY, F.lit(True).alias("__sel"), "__after")
+    out = df.join(patch, KEY, "left")
+    if accumulate:
+        entry = lineage_entry(col, error, F.col(col), after_rec, ts)
+        out = out.withColumn(
+            LINEAGE_ARRAY_COL,
+            F.when(F.col("__sel").isNotNull(),
+                   F.array_append(F.col(LINEAGE_ARRAY_COL), entry))
+            .otherwise(F.col(LINEAGE_ARRAY_COL)),
+        )
+        lineage_new = None
+    else:
+        lineage_new = edited.select(
+            F.col(KEY).alias("rid"),
+            F.lit(col).alias("field"),
+            F.lit(error).alias("error"),
+            F.col("__before").alias("before"),
+            after_rec.alias("after"),
+            F.lit(ts).cast("long").alias("ts"),
+        )
     out = (
-        df.join(patch, KEY, "left")
-        .withColumn(col, F.when(F.col("__sel"), F.col("__after")).otherwise(F.col(col)))
+        out.withColumn(col, F.when(F.col("__sel"), F.col("__after")).otherwise(F.col(col)))
         .drop("__sel", "__after")
     )
     return out, lineage_new

@@ -67,7 +67,13 @@ def date_swap(df: DataFrame, lineage: DataFrame, n_errors: int,
             & (F.month(d) != F.dayofmonth(d))
         )
         sel = select_rows(df, eligible, per_col, seed, st, exact, rate)
-        new = _rebuild(col, is_ts, F.make_date(F.year(d), F.dayofmonth(d), F.month(d)))
+        # SELF-GUARDED make_date: Catalyst may push this projection below
+        # the selection semi-join (expressions are assumed pure), so under
+        # ANSI mode the swapped date must be total over ALL rows — the
+        # lazy CASE WHEN keeps make_date off the ineligible branch.
+        swapped = F.when(eligible, F.make_date(F.year(d), F.dayofmonth(d), F.month(d))) \
+                   .otherwise(d)
+        new = _rebuild(col, is_ts, swapped)
         df, ln = apply_cell_edit(df, col, sel, new, "date_swap", ts)
         lineages.append(ln)
     return df, _union(lineages)
@@ -102,7 +108,10 @@ def date_transpose(df: DataFrame, lineage: DataFrame, n_errors: int,
                 & (newday != day) & (newday >= 1)
                 & (newday <= F.dayofmonth(F.last_day(d)))
             )
-            new_date = F.make_date(F.year(d), F.month(d), newday)
+            # guarded: projection may be evaluated on ineligible rows
+            # (pushed below the selection join) — see date_swap note
+            new_date = F.when(eligible, F.make_date(F.year(d), F.month(d), newday)) \
+                        .otherwise(d)
         else:
             y = F.year(d)
             d1 = y % 10
@@ -116,7 +125,10 @@ def date_transpose(df: DataFrame, lineage: DataFrame, n_errors: int,
                     | ((newy % 4 == 0) & ((newy % 100 != 0) | (newy % 400 == 0)))
                 )
             )
-            new_date = F.make_date(newy, F.month(d), F.dayofmonth(d))
+            # guarded like the day branch (see date_swap note)
+            new_date = F.when(
+                eligible, F.make_date(newy, F.month(d), F.dayofmonth(d))
+            ).otherwise(d)
         sel = select_rows(df, eligible, per_col, seed, st, exact, rate)
         new = _rebuild(col, is_ts, new_date)
         df, ln = apply_cell_edit(df, col, sel, new, f"date_transpose_{token}", ts)
@@ -159,7 +171,10 @@ def date_replace(df: DataFrame, lineage: DataFrame, n_errors: int,
             eligible = F.col(col).isNotNull() & (
                 (F.month(d) != 2) | (F.dayofmonth(d) != 29)
             )  # keep it simple: never move Feb 29 across years invalidly
-            new_date = F.make_date(newy, F.month(d), F.dayofmonth(d))
+            # guarded against projection pushdown (see date_swap note)
+            new_date = F.when(
+                eligible, F.make_date(newy, F.month(d), F.dayofmonth(d))
+            ).otherwise(d)
         elif token == "month":
             m = F.month(d)
             newm = (m - 1 + 1 + _seeded_int(st, 11)) % 12 + 1
@@ -188,7 +203,20 @@ def date_replace(df: DataFrame, lineage: DataFrame, n_errors: int,
         new = _rebuild(col, is_ts, new_date)
         df, ln = apply_cell_edit(df, col, sel, new, f"date_replace_{token}", ts)
         # drop no-op lineage rows (e.g. month replace that clamped back)
-        lineages.append(ln.where(F.col("before") != F.col("after")))
+        if ln is None:
+            # accumulate mode: prune the no-op entry from the in-row array
+            from rlerrorgenerator_spark.operators.base import LINEAGE_ARRAY_COL
+            err = f"date_replace_{token}"
+            df = df.withColumn(
+                LINEAGE_ARRAY_COL,
+                F.filter(
+                    F.col(LINEAGE_ARRAY_COL),
+                    lambda e: (e["error"] != err) | (e["before"] != e["after"]),
+                ),
+            )
+        else:
+            ln = ln.where(F.col("before") != F.col("after"))
+        lineages.append(ln)
     return df, _union(lineages)
 
 
@@ -217,8 +245,7 @@ def gen_birthday_from_age(df: DataFrame, lineage: DataFrame, n_errors: int,
     return out, ln
 
 
-def _union(dfs: list[DataFrame]) -> DataFrame:
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
-    return out
+def _union(dfs):
+    from rlerrorgenerator_spark.operators.base import union_lineage
+
+    return union_lineage(dfs)

@@ -29,6 +29,9 @@ from pyspark.sql import functions as F
 
 from rlerrorgenerator_spark.checkpoint import CheckpointManager
 from rlerrorgenerator_spark.operators.base import (
+    KEY,
+    LINEAGE_ARRAY_COL,
+    LINEAGE_ENTRY_TYPE,
     REGISTRY,
     empty_lineage,
     resolve_n_errors,
@@ -50,7 +53,9 @@ def parse_error_table(csv_text: str) -> list[ErrorConfigRow]:
     (`benchmarking/error_table.csv`): error, amount, col_names (comma
     separated), arguments (``k=v`` pairs, Python literals)."""
     rows = []
-    for rec in csv.DictReader(io.StringIO(csv_text)):
+    # skipinitialspace: the reference CSV writes ``..,, "lname = ...``
+    # (space before the quoted field) — without it csv keeps the quotes
+    for rec in csv.DictReader(io.StringIO(csv_text), skipinitialspace=True):
         kwargs = {}
         arg_text = (rec.get("arguments") or "").strip()
         if arg_text:
@@ -123,9 +128,20 @@ def mess_data(
     ]
     dirty = clean.drop(*heavy) if heavy else clean
     lineage = empty_lineage(spark)
+    # Bernoulli scale path: lineage accumulates as an array column inside
+    # the SAME narrow projections as the edits (one pass total — no lazy
+    # per-stage lineage branches re-running the UDF chain on
+    # materialization, which was quadratic in stage count). The column is
+    # exploded into the lineage table right before the row-generating ops
+    # (which read lineage for eligibility).
+    if not exact:
+        dirty = dirty.withColumn(
+            LINEAGE_ARRAY_COL, F.expr("array()").cast(LINEAGE_ENTRY_TYPE)
+        )
     ordered = [r for r in config if r.error not in ROW_OPS] + [
         r for r in config if r.error in ROW_OPS
     ]
+    n_cell_ops = sum(1 for r in ordered if r.error not in ROW_OPS)
     ts = 0
     since_ckpt = 0
     for row in ordered:
@@ -133,6 +149,14 @@ def mess_data(
         if fn is None:
             raise KeyError(f"unknown error transform {row.error!r}; "
                            f"registered: {sorted(REGISTRY)}")
+        if not exact and ts == n_cell_ops and LINEAGE_ARRAY_COL in dirty.columns:
+            # entering ROW_OPS: materialize dirty once (single pass over
+            # the whole fused cell-edit chain), extract the lineage table
+            mgr = ckpt or CheckpointManager(spark)
+            dirty = mgr.stage(dirty, f"dirty_cells_ts{ts:03d}")
+            lineage = lineage.unionByName(_explode_lineage(dirty))
+            dirty = dirty.drop(LINEAGE_ARRAY_COL)
+            since_ckpt = 0
         amount = row.amount * amount_mult
         if row.amount < 1:
             # fractional row: calibration can scale it past 1.0 — clamp the
@@ -145,25 +169,43 @@ def mess_data(
             n_errors = resolve_n_errors(amount, n)
             rate = min(amount / max(n, 1), 1.0)
         kwargs = dict(row.kwargs)
+        col_names = list(row.col_names)
+        # R-style column-pointer kwargs (`benchmarking/error_table.csv`:
+        # ``date='dob'``, ``lname='lname'``, ``fname=...``, parsed by the
+        # reference at `R/1_error.R:83-91`): when the transform has no
+        # parameter of that name, the value IS the target column — map it
+        # into col_names so the reference's shipped CSV runs verbatim.
+        params = _params(fn)
+        for key in ("date", "lname", "fname"):
+            if key in kwargs and key not in params:
+                col_names.append(kwargs.pop(key))
+        if "id" in kwargs and "id" not in params and "id_col" in params:
+            kwargs["id_col"] = kwargs.pop("id")
         # resolve named lookup dims from the provided dict
         for key in ("lookup", "surnames", "names"):
             if key in kwargs and isinstance(kwargs[key], str):
                 kwargs[key] = lookups[kwargs[key]]
-            elif key not in kwargs and key in lookups and _needs(fn, key):
+            elif key not in kwargs and key in lookups and key in params:
                 kwargs[key] = lookups[key]
         if row.error == "add_duplicates":
             kwargs["clean"] = clean.drop(*heavy) if heavy else clean
         ts += 1
         dirty, ln = fn(
-            dirty, lineage, n_errors, row.col_names,
+            dirty, lineage, n_errors, col_names,
             seed=seed, stage=f"s{ts:03d}", ts=ts,
             exact=exact, rate=rate, **kwargs,
         )
-        lineage = lineage.unionByName(ln)
+        if ln is not None:
+            lineage = lineage.unionByName(ln)
         if verbose:
             print(f"[mess_data] {ts:02d} {row.error} n={n_errors}")
         since_ckpt += 1
-        if since_ckpt >= checkpoint_every:
+        if since_ckpt >= checkpoint_every and (exact or ts >= n_cell_ops):
+            # exact path: per-stage snapshot discipline (plans reference
+            # their input ~3x via the patch joins). Bernoulli path: the
+            # cell-edit chain is ONE fused narrow projection — no
+            # intermediate checkpoints needed or taken before the
+            # dirty_cells materialization above.
             mgr = ckpt or CheckpointManager(spark)
             dirty = mgr.stage(dirty, f"dirty_ts{ts:03d}")
             # lineage is NOT checkpointed per stage: once dirty is staged,
@@ -171,6 +213,12 @@ def mess_data(
             # table, and the lazy union stays cheap — per-stage lineage
             # materialization would double the job count.
             since_ckpt = 0
+    if not exact and LINEAGE_ARRAY_COL in dirty.columns:
+        # program had no row ops: extract lineage now
+        mgr = ckpt or CheckpointManager(spark)
+        dirty = mgr.stage(dirty, "dirty_cells_final")
+        lineage = lineage.unionByName(_explode_lineage(dirty))
+        dirty = dirty.drop(LINEAGE_ARRAY_COL)
     mgr = ckpt or CheckpointManager(spark)
     if heavy:
         wide = clean.select("orig_url", *heavy)
@@ -180,10 +228,17 @@ def mess_data(
     return dirty, lineage
 
 
-def _needs(fn, key: str) -> bool:
+def _explode_lineage(dirty: DataFrame) -> DataFrame:
+    """Accumulated-lineage array column → lineage table rows."""
+    return dirty.select(
+        F.col(KEY).alias("rid"), F.explode(LINEAGE_ARRAY_COL).alias("e")
+    ).select("rid", "e.field", "e.error", "e.before", "e.after", "e.ts")
+
+
+def _params(fn) -> set[str]:
     import inspect
 
-    return key in inspect.signature(fn).parameters
+    return set(inspect.signature(fn).parameters)
 
 
 def calc_perc_id_err(lineage: DataFrame, n_rows: int) -> float:

@@ -35,7 +35,7 @@ from rlerrorgenerator_spark.operators.base import (
     split_across_cols,
 )
 from rlerrorgenerator_spark.operators.charsets import CHARSETS, CONFUSION_MAPS
-from rlerrorgenerator_spark.rng import row_rng
+from rlerrorgenerator_spark.rng import draw_streams, seed64_col
 
 
 def _resolve_charset(charset: str) -> tuple[str | None, dict[str, str] | None]:
@@ -44,17 +44,27 @@ def _resolve_charset(charset: str) -> tuple[str | None, dict[str, str] | None]:
     return CHARSETS.get(charset, charset), None
 
 
+def _seed_series_to_u64(seed64: pd.Series):
+    import numpy as np
+
+    return seed64.to_numpy(dtype="int64", na_value=0).view("uint64")
+
+
 def _make_udf(fn, seed: int, stage: str):
-    """Wrap a scalar (rng, str) -> str editor as an Arrow-batched pandas UDF
-    over (rid, value); per-row RNG keyed on (seed, stage, rid)."""
+    """Wrap a scalar (draws, str) -> str editor as an Arrow-batched pandas
+    UDF over (value, seed64). The per-row seed is derived JVM-side
+    (``seed64_col``); the UDF mixes it into draw streams with VECTORIZED
+    splitmix64 — no per-row hashing or Generator construction (the
+    round-1 per-row blake2b+default_rng cost, ~15-20µs/row)."""
     @F.pandas_udf("string")
-    def udf(rid: pd.Series, val: pd.Series) -> pd.Series:
+    def udf(val: pd.Series, seed64: pd.Series) -> pd.Series:
+        u0, u1, u2 = draw_streams(_seed_series_to_u64(seed64), 3)
         out = []
-        for k, v in zip(rid.to_numpy(), val.to_numpy()):
+        for v, a, b, c in zip(val.to_numpy(), u0, u1, u2):
             if v is None:
                 out.append(None)
                 continue
-            out.append(fn(row_rng(str(k), seed, stage), str(v)))
+            out.append(fn((int(a), int(b), int(c)), str(v)))
         return pd.Series(out, dtype="object")
 
     return udf
@@ -63,15 +73,16 @@ def _make_udf(fn, seed: int, stage: str):
 def _make_udf_flagged(fn, seed: int, stage: str):
     """Flag-gated variant for the inline (Bernoulli) path: Spark evaluates
     pandas UDFs under when() unconditionally, so the selection flag is an
-    input and unselected rows skip the (hash+rng) work entirely."""
+    input and unselected rows skip the edit entirely."""
     @F.pandas_udf("string")
-    def udf(rid: pd.Series, val: pd.Series, flag: pd.Series) -> pd.Series:
+    def udf(val: pd.Series, flag: pd.Series, seed64: pd.Series) -> pd.Series:
+        u0, u1, u2 = draw_streams(_seed_series_to_u64(seed64), 3)
         out = []
-        for k, v, f in zip(rid.to_numpy(), val.to_numpy(), flag.to_numpy()):
+        for v, f, a, b, c in zip(val.to_numpy(), flag.to_numpy(), u0, u1, u2):
             if not f or v is None:
                 out.append(v)
                 continue
-            out.append(fn(row_rng(str(k), seed, stage), str(v)))
+            out.append(fn((int(a), int(b), int(c)), str(v)))
         return pd.Series(out, dtype="object")
 
     return udf
@@ -82,55 +93,68 @@ def _apply_editor(df, col, scalar_fn, error_name, per_col, seed, st, ts,
     """Shared skeleton: selection (exact-k DataFrame or inline predicate)
     + UDF wiring + apply_cell_edit."""
     sel = select_rows(df, eligible, per_col, seed, st, exact, rate)
+    s64 = seed64_col(KEY, seed, st)
     if isinstance(sel, Column):
         udf = _make_udf_flagged(scalar_fn, seed, st)
-        new_value = udf(F.col(KEY), F.col(col), F.col("__sel"))
+        new_value = udf(F.col(col), F.col("__sel"), s64)
     else:
         udf = _make_udf(scalar_fn, seed, st)
-        new_value = udf(F.col(KEY), F.col(col))
+        new_value = udf(F.col(col), s64)
     return apply_cell_edit(df, col, sel, new_value, error_name, ts)
 
 
-def _indel_one(rng, s: str, charset: str) -> str:
+def _indel_one(u, s: str, charset: str) -> str:
     # p=0.5 insert vs delete (`R/2_edit_distance_errors.R:66-93`); a
     # 1-char string always gets an insert (delete would empty it — the
     # reference guards eligibility on non-empty only, we keep len>=1).
-    do_insert = bool(rng.random() < 0.5) or len(s) <= 1
+    # ``u`` = three independent 64-bit draws (see _make_udf).
+    u0, u1, u2 = u
+    do_insert = (u0 & 1 == 0) or len(s) <= 1
     if do_insert:
-        pos = int(rng.integers(0, len(s) + 1))
-        ch = charset[int(rng.integers(0, len(charset)))]
+        pos = u1 % (len(s) + 1)
+        ch = charset[u2 % len(charset)]
         return s[:pos] + ch + s[pos:]
-    pos = int(rng.integers(0, len(s)))
+    pos = u1 % len(s)
     return s[:pos] + s[pos + 1:]
 
 
-def _repl_one(rng, s: str, charset: str | None, confusion: dict[str, str] | None) -> str:
+def _repl_one(u, s: str, charset: str | None, confusion: dict[str, str] | None) -> str:
     if not s:
         return s
+    u0, u1, u2 = u
     if confusion is not None:
         # keyboard/OCR variant: only positions with a mapped char eligible.
         positions = [i for i, c in enumerate(s) if c in confusion]
         if not positions:
             return s
-        pos = positions[int(rng.integers(0, len(positions)))]
+        pos = positions[u0 % len(positions)]
         cands = confusion[s[pos]]
-        ch = cands[int(rng.integers(0, len(cands)))]
+        ch = cands[u1 % len(cands)]
         return s[:pos] + ch + s[pos + 1:]
-    pos = int(rng.integers(0, len(s)))
-    # rejection loop: replacement must differ (`R/2_edit:171-178`)
-    for _ in range(32):
-        ch = charset[int(rng.integers(0, len(charset)))]
-        if ch != s[pos]:
-            return s[:pos] + ch + s[pos + 1:]
-    return s
+    pos = u0 % len(s)
+    # replacement must differ (`R/2_edit:171-178`): pick an index, and if
+    # it lands on the current char step to another one — uniform over the
+    # remaining charset, no rejection loop
+    idx = u1 % len(charset)
+    if charset[idx] == s[pos]:
+        idx = (idx + 1 + u2 % (len(charset) - 1)) % len(charset)
+        if charset[idx] == s[pos]:  # duplicate chars in custom charsets
+            for step in range(1, len(charset)):
+                j = (idx + step) % len(charset)
+                if charset[j] != s[pos]:
+                    idx = j
+                    break
+            else:
+                return s
+    return s[:pos] + charset[idx] + s[pos + 1:]
 
 
-def _tpose_one(rng, s: str) -> str:
+def _tpose_one(u, s: str) -> str:
     # positions where adjacent chars differ (`R/2_edit:244-276`)
     positions = [i for i in range(len(s) - 1) if s[i] != s[i + 1]]
     if not positions:
         return s
-    pos = positions[int(rng.integers(0, len(positions)))]
+    pos = positions[u[0] % len(positions)]
     return s[:pos] + s[pos + 1] + s[pos] + s[pos + 2:]
 
 
@@ -199,8 +223,7 @@ def tpose(df: DataFrame, lineage: DataFrame, n_errors: int, col_names: list[str]
     return df, _union(lineages)
 
 
-def _union(dfs: list[DataFrame]) -> DataFrame:
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
-    return out
+def _union(dfs):
+    from rlerrorgenerator_spark.operators.base import union_lineage
+
+    return union_lineage(dfs)

@@ -101,20 +101,38 @@ def make_missing(df: DataFrame, lineage: DataFrame, n_errors: int,
     (`R/4_abbreviations.R:112-117`) — here an anti-join against the
     accumulated lineage table; records ``after=""``  (`:120-127`).
     """
+    from rlerrorgenerator_spark.operators.base import LINEAGE_ARRAY_COL
+    from rlerrorgenerator_spark.rng import bernoulli_col
+
     per_col = split_across_cols(n_errors, len(col_names))
     lineages = []
     for col in col_names:
         st = f"{stage}|missing|{col}"
-        prior = lineage.where(F.col("field") == col).select(F.col("rid").alias(KEY)).distinct()
-        cand = df.join(prior, KEY, "left_anti")
-        eligible = F.col(col).isNotNull()
-        sel = choose_ids(cand, eligible, per_col, seed, st, exact, rate)
         col_type = dict(df.dtypes)[col]
-        df, ln = apply_cell_edit(
-            df, col, sel, F.lit(None).cast(col_type), "make_missing", ts
-        )
-        # reference logs after="" rather than NA (`R/4_abbreviations.R:123`)
-        ln = ln.withColumn("after", F.lit(""))
+        if not exact and LINEAGE_ARRAY_COL in df.columns:
+            # scale path: prior-error exclusion read straight off the
+            # accumulated-lineage column — no anti-join, stays one fused
+            # narrow projection like every other Bernoulli-path edit
+            eligible = (
+                F.col(col).isNotNull()
+                & ~F.exists(LINEAGE_ARRAY_COL, lambda e: e["field"] == col)
+                & bernoulli_col(KEY, seed, st, rate)
+            )
+            df, ln = apply_cell_edit(
+                df, col, eligible, F.lit(None).cast(col_type), "make_missing",
+                ts, lineage_after=F.lit(""),
+            )
+        else:
+            prior = lineage.where(F.col("field") == col) \
+                           .select(F.col("rid").alias(KEY)).distinct()
+            cand = df.join(prior, KEY, "left_anti")
+            eligible = F.col(col).isNotNull()
+            sel = choose_ids(cand, eligible, per_col, seed, st, exact, rate)
+            # reference logs after="" rather than NA (`R/4_abbreviations.R:123`)
+            df, ln = apply_cell_edit(
+                df, col, sel, F.lit(None).cast(col_type), "make_missing",
+                ts, lineage_after=F.lit(""),
+            )
         lineages.append(ln)
     return df, _union(lineages)
 
@@ -139,10 +157,27 @@ def swap_fields(df: DataFrame, lineage: DataFrame, n_errors: int,
         )
         sel = select_rows(df, eligible, per_pair, seed, st, exact, rate)
         if isinstance(sel, Column):
-            flagged = df.withColumn("__sel", sel)
-            patch = flagged.where("__sel").select(
-                KEY, F.col(c1).alias("__v1"), F.col(c2).alias("__v2")
+            from rlerrorgenerator_spark.operators.base import (
+                LINEAGE_ARRAY_COL,
+                lineage_entry,
             )
+
+            flagged = df.withColumn("__sel", sel)
+            if LINEAGE_ARRAY_COL in df.columns:
+                # accumulate mode: both swap entries appended in-projection
+                e1 = lineage_entry(c1, "swap_fields", F.col(c1), F.col(c2), ts)
+                e2 = lineage_entry(c2, "swap_fields", F.col(c2), F.col(c1), ts)
+                flagged = flagged.withColumn(
+                    LINEAGE_ARRAY_COL,
+                    F.when(F.col("__sel"),
+                           F.concat(F.col(LINEAGE_ARRAY_COL), F.array(e1, e2)))
+                    .otherwise(F.col(LINEAGE_ARRAY_COL)),
+                )
+                patch = None
+            else:
+                patch = flagged.where("__sel").select(
+                    KEY, F.col(c1).alias("__v1"), F.col(c2).alias("__v2")
+                )
             out = (
                 flagged.withColumn(
                     "__n1", F.when(F.col("__sel"), F.col(c2)).otherwise(F.col(c1))
@@ -162,23 +197,23 @@ def swap_fields(df: DataFrame, lineage: DataFrame, n_errors: int,
                 .withColumn(c2, F.coalesce(F.col("__v1"), F.col(c2)))
                 .drop("__v1", "__v2")
             )
-        for fld, before, after in ((c1, "__v1", "__v2"), (c2, "__v2", "__v1")):
-            lineages.append(
-                patch.select(
-                    F.col(KEY).alias("rid"),
-                    F.lit(fld).alias("field"),
-                    F.lit("swap_fields").alias("error"),
-                    F.col(before).cast("string").alias("before"),
-                    F.col(after).cast("string").alias("after"),
-                    F.lit(ts).cast("long").alias("ts"),
+        if patch is not None:
+            for fld, before, after in ((c1, "__v1", "__v2"), (c2, "__v2", "__v1")):
+                lineages.append(
+                    patch.select(
+                        F.col(KEY).alias("rid"),
+                        F.lit(fld).alias("field"),
+                        F.lit("swap_fields").alias("error"),
+                        F.col(before).cast("string").alias("before"),
+                        F.col(after).cast("string").alias("after"),
+                        F.lit(ts).cast("long").alias("ts"),
+                    )
                 )
-            )
         df = out
     return df, _union(lineages)
 
 
-def _union(dfs: list[DataFrame]) -> DataFrame:
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
-    return out
+def _union(dfs):
+    from rlerrorgenerator_spark.operators.base import union_lineage
+
+    return union_lineage(dfs)

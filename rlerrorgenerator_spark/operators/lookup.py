@@ -175,8 +175,7 @@ def married_name_change(df: DataFrame, lineage: DataFrame, n_errors: int,
     return df, _union(lineages)
 
 
-def _union(dfs: list[DataFrame]) -> DataFrame:
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
-    return out
+def _union(dfs):
+    from rlerrorgenerator_spark.operators.base import union_lineage
+
+    return union_lineage(dfs)

@@ -32,6 +32,9 @@ def add_duplicates(df: DataFrame, lineage: DataFrame, n_errors: int,
     ``orig_url`` keeps the ground-truth cluster anchor.
     """
     st = f"{stage}|add_duplicates"
+    # cluster anchor: pages carry orig_url; person-shaped tables use the
+    # row key itself (their ground truth lives in voter_reg_num)
+    anchor = "orig_url" if "orig_url" in clean.columns else KEY
     errored = lineage.select(F.col("rid").alias(KEY)).distinct()
     # restrict to ids present in df (lineage may reference other tables)
     errored = errored.join(df.select(KEY), KEY, "left_semi")
@@ -41,8 +44,8 @@ def add_duplicates(df: DataFrame, lineage: DataFrame, n_errors: int,
         from rlerrorgenerator_spark.rng import bernoulli_col
         sel = errored.where(bernoulli_col(KEY, seed, st, rate))
     dups = (
-        clean.join(sel.withColumnRenamed(KEY, "orig_url"), "orig_url", "left_semi")
-        .withColumn(KEY, F.concat(F.col("orig_url"), F.lit("#dup1")))
+        clean.join(sel.withColumnRenamed(KEY, anchor), anchor, "left_semi")
+        .withColumn(KEY, F.concat(F.col(anchor), F.lit("#dup1")))
     )
     out = df.unionByName(dups.select(*df.columns))
     ln = dups.select(

@@ -32,7 +32,11 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cores, 8)
+        # 4x cores (the classic 2-4x rule): with partitions == cores one
+        # straggler partition gates every stage (measured: the pair-score
+        # stage dropped 34s -> 18s at 8 cores going 8 -> 32 partitions);
+        # AQE coalesces the excess when partitions come out small.
+        shuffle_partitions = max(4 * cores, 8)
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -43,7 +47,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 4MB: true dims (nation/region, lookup tables, hot-key lists)
+        # still broadcast — several are F.broadcast()-hinted anyway — but
+        # mid-size fact-ish sides (pair attributes, band keys) go shuffle.
+        # At 100 TB those sides could never be broadcast, so this keeps
+        # sandbox plans identical in SHAPE to the scale plans, and avoids
+        # serial driver-side builds of 100MB+ hashed relations that capped
+        # measured scaling.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(4 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -152,3 +152,28 @@ def test_add_count_name(spark):
     assert out["3"][0] == 1.0
     # z-scores sum to ~0
     assert abs(sum(v[1] for v in out.values())) < 1e-6
+
+
+def test_model_family_parity(spark, person_linkage):
+    """Reference model family (`utils.R:916-995`): RF, svmLinear, NN —
+    each trains and meets the deterministic scorer's bar on the fixture."""
+    from rlerrorgenerator_spark.linkage.metrics import pairwise_metrics
+    from rlerrorgenerator_spark.linkage.models import (
+        predict_match_prob,
+        train_match_model,
+    )
+    from rlerrorgenerator_spark.linkage.person_pairs import (
+        FEATURE_COLS,
+        add_person_features,
+        generate_person_pairs,
+    )
+
+    persons, dirty, lineage = person_linkage
+    pairs = generate_person_pairs(persons, dirty, neg_ratio=3, seed=9)
+    feats = add_person_features(pairs, persons, dirty).localCheckpoint(eager=True)
+    train, test = feats.randomSplit([0.7, 0.3], seed=13)
+    for name in ("svm_linear", "mlp"):
+        model = train_match_model(train, FEATURE_COLS, model=name)
+        scored = predict_match_prob(model, test, FEATURE_COLS)
+        m = pairwise_metrics(scored).collect()[0]
+        assert m.f1 >= 0.95, f"{name} F1 {m.f1}"
