@@ -145,10 +145,16 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
     112s for 12M shingles vs 1.3s this way) — and MinHash doesn't need
     distinct: min over a multiset equals min over its set."""
     k = max(2, shingle_k - 1)  # word shingles (see _shingles rationale)
-    # STRING-FREE shingles (same trick as features.attach_pair_attrs):
-    # hash tokens once, shingle hash = multi-arg xxhash64 over k
-    # consecutive token hashes — no slice/concat string building per
-    # position (the dominant cost of the string form at 60k+ rows).
+    # STRING-FREE, SHUFFLE-FREE signatures: hash tokens once, build the
+    # per-row shingle-hash array (multi-arg xxhash64 over k consecutive
+    # token hashes — no slice/concat string building), then each of the
+    # n_hashes signature values is an array_min over a per-hash rehash of
+    # that BOUND array. Zero shuffle, perfect cache locality per row —
+    # the earlier explode → groupBy(id) form built ~32MB hash-agg maps
+    # per task (LLC-thrashing at high parallelism), and the historic
+    # warning about the array-expression form applied to STRING shingle
+    # construction being inlined n_hashes times; with 8-byte hash
+    # elements the rehash is ~10ns/element.
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.transform(
@@ -156,24 +162,26 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
             lambda t: F.xxhash64(t),
         ).alias("__th"),
     )
-    pos = toks.select(
-        "__id", "__th",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("__th") - F.lit(k - 1), F.lit(1)))
-        ).alias("__i"),
+    n = F.greatest(F.size("__th") - F.lit(k - 1), F.lit(1))
+    sh = toks.withColumn(
+        "__sh",
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.xxhash64(
+                F.lit(f"mh{seed}"),
+                *[F.try_element_at(F.col("__th"), i + j) for j in range(k)],
+            ),
+        ),
     )
-    sh = pos.select(
+    return sh.select(
         "__id",
-        F.xxhash64(
-            F.lit(f"mh{seed}"),
-            *[F.try_element_at(F.col("__th"), F.col("__i") + j) for j in range(k)],
-        ).alias("__h"),
+        *[
+            F.array_min(
+                F.transform(F.col("__sh"), lambda h, i=i: F.xxhash64(F.lit(i), h))
+            ).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ],
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
-    return sh.groupBy("__id").agg(*aggs)
 
 
 def minhash_blocks(clean: DataFrame, dirty: DataFrame, text_col: str = "text",

@@ -70,6 +70,12 @@ def attach_pair_attrs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame)
             lambda i: F.xxhash64(*[F.try_element_at(F.col("__th__"), i + j)
                                    for j in range(k)]),
         )
+        # Deterministic 1-in-4 shingle subsample (keep h % 4 == 0): the
+        # same filter applies on both sides, so pair Jaccard over the
+        # sample is an unbiased estimate of the true shingle Jaccard
+        # (MinHash-style subsampling) — and the pair shuffle ships 4×
+        # fewer array bytes, the dominant bandwidth cost of scoring.
+        hashed = F.filter(hashed, lambda h: F.pmod(h, F.lit(4)) == 0)
         return step.select(
             F.col(key_col).alias(f"rid_{alias}"),
             *[F.col(c).alias(f"{c}_{alias}") for c in PAIR_COLS],

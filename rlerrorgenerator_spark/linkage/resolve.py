@@ -49,13 +49,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     point. Deterministic (min on string ids). Each round localCheckpoints
     to truncate lineage; convergence via a changed-count action.
     """
+    # lazy localCheckpoints: both materialize inside round 0's first job
+    # (plan truncation without two extra standalone jobs)
     sym = edges.select(F.col("src"), F.col("dst")).unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("src").alias("id")).distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for rnd in range(max_iter):
         # 1) hash-to-min message pass: every node adopts the min component

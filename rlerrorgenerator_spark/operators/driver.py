@@ -223,7 +223,13 @@ def mess_data(
     if heavy:
         wide = clean.select("orig_url", *heavy)
         dirty = dirty.join(wide, "orig_url", "left")
-    dirty = mgr.stage(dirty, "dirty_final")
+    durable = mgr.base_dir is not None
+    if exact or durable or heavy:
+        dirty = mgr.stage(dirty, "dirty_final")
+    # else: volatile Bernoulli path — dirty_cells is already materialized
+    # and the row-op tail is a few shallow ops over checkpointed parents;
+    # re-materializing the whole table would double the memory-write cost
+    # of injection for no plan-depth benefit.
     lineage = mgr.stage(lineage, "lineage_final")
     return dirty, lineage
 

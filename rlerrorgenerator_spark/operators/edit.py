@@ -96,7 +96,13 @@ def _apply_editor(df, col, scalar_fn, error_name, per_col, seed, st, ts,
     s64 = seed64_col(KEY, seed, st)
     if isinstance(sel, Column):
         udf = _make_udf_flagged(scalar_fn, seed, st)
-        new_value = udf(F.col(col), F.col("__sel"), s64)
+        # ship NULL instead of the (KB-scale) value for unselected rows:
+        # the Arrow exchange then carries ~rate×|col| bytes instead of
+        # |col| bytes — at a few % selection this cuts the Python
+        # round-trip ~20×, the measured bandwidth bound of the inject
+        # stage. Selected ⇒ eligible ⇒ non-null, so NULL is unambiguous.
+        gated = F.when(F.col("__sel"), F.col(col))
+        new_value = udf(gated, F.col("__sel"), s64)
     else:
         udf = _make_udf(scalar_fn, seed, st)
         new_value = udf(F.col(col), s64)

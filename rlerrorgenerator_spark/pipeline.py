@@ -90,7 +90,12 @@ def run_linkage(
     ckpt = CheckpointManager(spark, ckpt_dir)
     if pages is None:
         pages = synth_pages(spark, n_rows, seed=seed, body_tokens=body_tokens)
-    clean = ckpt.stage(prep_pages(pages), "clean")
+    # The html binary never participates in linkage (text is the extracted
+    # invariant); drop it from the WORKING set. On a real deployment the
+    # clean table sits in Iceberg/Parquet and columnar pruning skips html
+    # for free — an in-memory localCheckpoint would charge full bytes for
+    # a column no stage reads.
+    clean = ckpt.stage(prep_pages(pages).drop("html"), "clean")
     cfg = config or default_error_config()
     dirty, lineage = mess_data(clean, cfg, seed=seed, ckpt=ckpt, exact=exact,
                                amount_mult=amount_mult,

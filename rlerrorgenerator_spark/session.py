@@ -55,7 +55,7 @@ def get_spark(
         # serial driver-side builds of 100MB+ hashed relations that capped
         # measured scaling.
         .config("spark.sql.autoBroadcastJoinThreshold", str(4 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -117,6 +117,9 @@ def test_multimodal_plumbing(spark):
     for r in rows:
         assert len(r.feature) == FEATURE_DIM
         assert r.n_bytes > 0
+        # real codecs ran for image/audio; video fell back to hash feature
+        expect = {"image": "bmp", "audio": "wav", "video": "opaque"}[r.kind]
+        assert r.codec == expect, (r.media_id, r.kind, r.codec)
     # determinism: same payload → same feature
     again = {r.media_id: r.feature for r in extract_features(media).collect()}
     for r in rows:
@@ -126,6 +129,37 @@ def test_multimodal_plumbing(spark):
     assert frames.count() > media.where(F.col("kind") == "video").count()
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_multimodal_codecs_roundtrip():
+    import numpy as np
+
+    from rlerrorgenerator_spark.functions.multimodal import (
+        decode_audio,
+        decode_image,
+        encode_bmp,
+        encode_wav,
+        image_feature,
+        resize_image,
+    )
+
+    rng = np.random.default_rng(7)
+    # BMP roundtrip, including a width that needs row padding (w*3 % 4 != 0)
+    for w, h in ((10, 6), (7, 5), (16, 16)):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        back = decode_image(encode_bmp(px))
+        assert back.shape == (h, w, 3)
+        assert (back == px).all()
+    # WAV roundtrip
+    samples = (np.sin(np.arange(4000) * 0.05) * 20000).astype(np.int16)
+    got, rate = decode_audio(encode_wav(samples, rate=16000))
+    assert rate == 16000 and (got == samples).all()
+    # resize + feature shapes
+    small = resize_image(px, 4, 4)
+    assert small.shape == (4, 4, 3)
+    assert image_feature(px).shape == (16,)
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04rubbish")
 
 
 def test_textops_langid(spark):
