@@ -2,10 +2,14 @@
 
 ``entry`` runs the flagship record-linkage pipeline on sf0.001;
 ``queries()`` exposes every implemented operator family from SURVEY.md §2
-(+ the training-data ops) over the driver's parquet tables; ``oracle_sql``
-gives the DuckDB-equivalent SQL for everything SQL-expressible (the
-error-injection / linkage pipeline entries are seeded-RNG programs → the
-driver's weaker rows-only check applies there, as allowed).
+(+ the training-data ops) over the driver's parquet tables, including one
+named ``er_op_<operator>`` audit query per §2.A error transform (fixed
+seed; the returned ``violations`` column counts lineage rows breaking
+that operator's contract and must be 0 — see
+rlerrorgenerator_spark/audit.py); ``oracle_sql`` gives the
+DuckDB-equivalent SQL for everything SQL-expressible (the seeded-RNG
+injection/linkage/audit programs fall under the driver's rows-only check,
+as the contract allows, but their rows are self-checking).
 
 Float discipline for cross-engine value-hash parity: every double
 aggregate is ``round``-ed identically on both sides, embeddings are cast

@@ -159,32 +159,41 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     ``_md5_u64`` — and two 32-bit words avoid the sign-bit divergence a
     single int64 sketch would have at bit 63.
     """
-    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t"))
-    hx = F.md5("t")
-    h = tok.select(
+    # PER-ROW aggregation over bound token-hash arrays — no explode, no
+    # 64-sum groupBy (whose per-task agg maps were ~70MB at corpus scale
+    # and thrashed the LLC at high parallelism). md5 is computed once per
+    # token; each bit's ±1 sum is 2·ones − n with ``ones`` an
+    # ``aggregate`` over the array. Output identical to the exploded
+    # groupBy formulation (per-bit sums are order-free).
+    md = F.transform(tokens(text_col), lambda t: F.md5(t))
+    base = df.select(F.col(id_col).alias("id"), md.alias("__md"))
+    base = base.select(
         "id",
-        F.conv(F.substring(hx, 17, 8), 16, 10).cast("long").alias("hi"),
-        F.conv(F.substring(hx, 25, 8), 16, 10).cast("long").alias("lo"),
+        F.transform(F.col("__md"),
+                    lambda m: F.conv(F.substring(m, 17, 8), 16, 10).cast("long")
+                    ).alias("__hi"),
+        F.transform(F.col("__md"),
+                    lambda m: F.conv(F.substring(m, 25, 8), 16, 10).cast("long")
+                    ).alias("__lo"),
     )
-    aggs = []
-    for word in ("lo", "hi"):
-        aggs += [
-            F.sum(
-                F.when(F.shiftright(F.col(word), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"{word}{i}")
-            for i in range(32)
-        ]
-    sums = h.groupBy("id").agg(*aggs)
+    n = F.size("__lo")
+
+    def bit_merge(i):
+        # closure factory: a default-arg lambda would be 3-ary and break
+        # F.aggregate's arity inspection
+        return lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1))
+
     sketches = []
     for word in ("lo", "hi"):
+        arr = F.col(f"__{word}")
         sk = F.lit(0).cast("long")
         for i in range(32):
+            ones = F.aggregate(arr, F.lit(0).cast("long"), bit_merge(i))
             sk = sk + F.when(
-                F.col(f"{word}{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                ones * 2 > n, F.shiftleft(F.lit(1).cast("long"), i)
             ).otherwise(F.lit(0).cast("long"))
         sketches.append(sk.alias(f"sim_{word}"))
-    return sums.select("id", *sketches)
+    return base.select("id", *sketches)
 
 
 def simhash_dup_pairs(df: DataFrame, text_col: str = "text",
