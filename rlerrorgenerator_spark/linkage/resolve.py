@@ -42,12 +42,26 @@ def find_best_links(scored: DataFrame, odds: float = 0.4,
     return acc.withColumn("rk", F.row_number().over(wb)).where(F.col("rk") == 1).drop("rk")
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         hot_degree: int = 1_000_000,
+                         salt_factor: int = 16) -> DataFrame:
     """(src, dst) string edges → (id, component) with component = min id.
 
     Hash-to-min: labels ← min(own, min over neighbors); iterate to fixed
     point. Deterministic (min on string ids). Each round localCheckpoints
-    to truncate lineage; convergence via a changed-count action.
+    to truncate lineage; convergence via an amortized changed-count.
+
+    Skew (north rule: "salted, AQE-tuned shuffles with explicit skew-key
+    splitting"): the min-label aggregation combines map-side, so hot
+    COMPONENTS cost nothing extra — the exposure is the message join,
+    where a star node's edges all hash to one task. Nodes with degree >
+    ``hot_degree`` get EXPLICIT salted handling: their label row is
+    replicated ``salt_factor`` ways and their edges join on
+    (src, hash(dst) % salt_factor), spreading the probe across
+    ``salt_factor`` tasks; cold nodes keep the plain equi-join (AQE
+    skew-join splitting covers residual imbalance). The min result is
+    unaffected by the split — detection is one degree aggregation before
+    the loop and is skipped entirely when no hot node exists.
     """
     # lazy localCheckpoints: both materialize inside round 0's first job
     # (plan truncation without two extra standalone jobs)
@@ -59,12 +73,47 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=False)
     )
+    hot = (
+        sym.groupBy("src").count().where(F.col("count") > hot_degree)
+        .select(F.col("src").alias("__hot"))
+    )
+    n_hot = hot.count()
+    if n_hot:
+        hot = F.broadcast(hot.localCheckpoint(eager=True))
+        sym_salted = (
+            sym.join(hot, sym["src"] == hot["__hot"], "left")
+            .withColumn(
+                "__salt",
+                F.when(F.col("__hot").isNotNull(),
+                       F.pmod(F.xxhash64("dst"), F.lit(salt_factor)))
+                .otherwise(F.lit(0)),
+            )
+            .drop("__hot")
+            .localCheckpoint(eager=True)
+        )
     for rnd in range(max_iter):
         # 1) hash-to-min message pass: every node adopts the min component
         #    seen across its neighborhood
-        msgs = sym.join(labels, sym["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), F.col("component")
-        )
+        if n_hot:
+            lab_cold = labels.join(
+                hot, labels["id"] == hot["__hot"], "left_anti"
+            ).withColumn("__salt", F.lit(0))
+            lab_hot = labels.join(
+                hot, labels["id"] == hot["__hot"], "left_semi"
+            ).withColumn(
+                "__salt",
+                F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))),
+            )
+            lab_salted = lab_cold.unionByName(lab_hot)
+            msgs = sym_salted.join(
+                lab_salted,
+                (sym_salted["src"] == lab_salted["id"])
+                & (sym_salted["__salt"] == lab_salted["__salt"]),
+            ).select(F.col("dst").alias("id"), F.col("component"))
+        else:
+            msgs = sym.join(labels, sym["src"] == labels["id"]).select(
+                F.col("dst").alias("id"), F.col("component")
+            )
         prop = (
             msgs.unionByName(labels.select("id", "component"))
             .groupBy("id")

@@ -179,3 +179,25 @@ def test_textops_langid(spark):
     assert out[2] == "de"
     assert out[3] == "fr"
     assert out[4] == "und"
+
+
+def test_ivf_topk_clustered(spark):
+    """IVF on clustered embeddings (the realistic case): >=0.9 recall@1
+    probing fewer than 1/4 of the centroid buckets."""
+    import numpy as np
+
+    from rlerrorgenerator_spark.plans.ann import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16)) * 4
+    rows = []
+    for i in range(320):
+        c = centers[i % 8]
+        rows.append((i, (c + rng.standard_normal(16) * 0.3).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.where(F.col("vec_id") < 40)
+    exact = {r.query_id: r.neighbor_id for r in cosine_topk(q, df, k=1).collect()}
+    approx = {r.query_id: r.neighbor_id
+              for r in ivf_topk(q, df, k=1, n_centroids=16, n_probe=3).collect()}
+    hits = sum(1 for k2, v in exact.items() if approx.get(k2) == v)
+    assert hits / len(exact) >= 0.9

@@ -166,3 +166,23 @@ def test_osa_udf_matches_scalar(spark):
     for r in got:
         expect = osa_distance(r.s1, r.s2) / max(len(r.s1), len(r.s2), 1)
         assert r.d == expect
+
+
+def test_cc_salted_hot_node(spark):
+    """Explicit skew-key splitting: a star node above hot_degree engages
+    the salted join path and yields identical components."""
+    from rlerrorgenerator_spark.linkage.resolve import connected_components
+
+    edges = [("hub", f"n{i:04d}") for i in range(500)]
+    edges += [("n0001", "side1"), ("x1", "x2")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    plain = {r.id: r.component
+             for r in connected_components(df, hot_degree=10**9).collect()}
+    salted = {r.id: r.component
+              for r in connected_components(df, hot_degree=100,
+                                            salt_factor=4).collect()}
+    assert salted == plain
+    # the star collapses to one component anchored at the min id
+    comp = {v for k, v in salted.items() if k.startswith("n") or k == "hub"}
+    assert comp == {"hub"}
+    assert salted["x1"] == salted["x2"] == "x1"
