@@ -73,3 +73,84 @@ def run_available_now(stream_df: DataFrame, out_dir: str, ckpt_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def crawl_sessionize(pages: DataFrame, gap: str = "30 minutes",
+                     watermark: str = "2 hours") -> DataFrame:
+    """Custom STATEFUL operator: per-host crawl sessionization via
+    ``applyInPandasWithState`` — the north star's "custom stateful
+    streaming operator" shape. A session is a run of fetches from one
+    host with gaps under ``gap``; emits one row per CLOSED session
+    (host, session_start, session_end, n_pages). State per host is a
+    constant-size tuple (start, last_ts, count) and is dropped on
+    timeout — bounded regardless of stream length.
+    """
+    import datetime as _dt
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    gap_ms = _parse_duration_ms(gap)
+    out_schema = T.StructType([
+        T.StructField("host", T.StringType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_pages", T.LongType()),
+    ])
+    state_schema = "start long, last long, n long"
+
+    def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        (host,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "host": [host],
+                "session_start": [pd.Timestamp(start, unit="ms")],
+                "session_end": [pd.Timestamp(last, unit="ms")],
+                "n_pages": [n],
+            })
+            return
+        closed = []
+        cur = state.get if state.exists else None
+        for b in batches:
+            ts = sorted(int(t.value // 10**6) for t in pd.to_datetime(b["warc_ts"]))
+            for t in ts:
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] <= gap_ms:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                else:
+                    closed.append(cur)
+                    cur = (t, t, 1)
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutDuration(gap_ms)
+        if closed:
+            yield pd.DataFrame({
+                "host": [host] * len(closed),
+                "session_start": [pd.Timestamp(c[0], unit="ms") for c in closed],
+                "session_end": [pd.Timestamp(c[1], unit="ms") for c in closed],
+                "n_pages": [c[2] for c in closed],
+            })
+
+    host = F.regexp_extract("url", r"^[a-z0-9]+://(?:www\.)?([^/]+)", 1)
+    return (
+        pages.withColumn("host", host)
+        .withWatermark("warc_ts", watermark)
+        .groupBy("host")
+        .applyInPandasWithState(
+            fn, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def _parse_duration_ms(text: str) -> int:
+    n, unit = text.split()
+    mult = {"second": 1000, "seconds": 1000, "minute": 60000,
+            "minutes": 60000, "hour": 3600000, "hours": 3600000}[unit]
+    return int(n) * mult

@@ -40,3 +40,40 @@ def test_stream_dedup_and_windows(spark, tmp_path):
     n_before = spark.read.parquet(out).count()
     run_available_now(stream_dedup_pages(stream_pages(spark, src)), out, ck)
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_crawl_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: sessions split on gaps > gap;
+    counts and bounds correct (availableNow drain)."""
+    import datetime as dt
+
+    from rlerrorgenerator_spark.sources.pages import PAGES_SCHEMA
+    from rlerrorgenerator_spark.streaming.ingest import (
+        crawl_sessionize,
+        stream_pages,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # host A: 3 fetches in one session, then a 2h gap, then 2 more
+    for i, mins in enumerate((0, 5, 10, 130, 135)):
+        rows.append((f"https://www.hosta.com/p/{i}", base + dt.timedelta(minutes=mins),
+                     bytearray(b"<html><body><p>x</p></body></html>"), "x", "en"))
+    # host B: single fetch
+    rows.append(("https://www.hostb.com/p/0", base, bytearray(b"<html></html>"), "", "en"))
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    src = str(tmp_path / "in")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    sessions = crawl_sessionize(stream_pages(spark, src), gap="30 minutes")
+    q = (
+        sessions.writeStream.format("memory").queryName("sess")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r.host, r.n_pages) for r in spark.sql("select * from sess").collect()}
+    # within one availableNow drain only sessions CLOSED by a later fetch
+    # are emitted (open sessions wait for the processing-time timeout in a
+    # long-running stream) — host A's first session closed when the
+    # 130-minute fetch arrived
+    assert ("hosta.com", 3) in got
