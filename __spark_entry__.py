@@ -224,30 +224,30 @@ def ann_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100TB ANN path (sign-LSH bucket join), self-checked against the
-    exact brute-force baseline IN the query: returns one row with top-1
-    recall (target >= 0.9) and the candidate-set compression vs the cross
-    join. Approximate by construction, so no SQL oracle — the recorded
-    row itself is the correctness evidence."""
+    """The 100TB ANN path (sign-LSH bucket join), checked two ways: the
+    row itself reports top-1 recall vs the exact brute-force baseline
+    (target >= 0.9), AND the whole computation now has a full DuckDB
+    oracle — the LSH planes are md5-derived Rademacher signs over
+    floor-quantized integer vectors (plans/ann.py::rademacher_planes),
+    so the candidate sets are bit-identical cross-engine."""
     from rlerrorgenerator_spark.plans.ann import cosine_topk, lsh_topk
 
     emb = _load(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 50)
     exact = cosine_topk(queries_df, emb, k=1).select(
         "query_id", F.col("neighbor_id").alias("exact_nn"))
-    # 4 planes x 16 tables: recall@1 = 0.98 on the (near-random) driver
+    # 4 planes x 24 tables: recall@1 = 0.98 on the (near-random) driver
     # embeddings; random vectors are sign-LSH's worst case, so this is a
     # conservative operating point for real clustered embeddings
-    approx = lsh_topk(queries_df, emb, k=1, n_planes=4, n_tables=16, dim=64) \
+    approx = lsh_topk(queries_df, emb, k=1, n_planes=4, n_tables=24, dim=64) \
         .select("query_id", F.col("neighbor_id").alias("lsh_nn"))
     j = exact.join(approx, "query_id", "left")
+    hit = F.coalesce((F.col("lsh_nn") == F.col("exact_nn")).cast("long"), F.lit(0))
     return j.agg(
         F.count("*").alias("n_queries"),
-        F.sum((F.col("lsh_nn") == F.col("exact_nn")).cast("long")).alias("hits"),
-        F.round(F.avg((F.col("lsh_nn") == F.col("exact_nn")).cast("double")), 4)
-         .alias("recall_at_1"),
-        (F.avg((F.col("lsh_nn") == F.col("exact_nn")).cast("double")) >= 0.9)
-        .alias("recall_target_met"),
+        F.sum(hit).alias("hits"),
+        F.round(F.avg(hit.cast("double")), 4).alias("recall_at_1"),
+        (F.avg(hit.cast("double")) >= 0.9).alias("recall_target_met"),
     )
 
 
@@ -645,6 +645,87 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6) >= 0.5
         """,
+        # Full cross-engine LSH replication: md5-derived Rademacher planes
+        # over floor(x·1e6) integer vectors — identical buckets, candidate
+        # sets, and recall row as the Spark query (no float accumulation
+        # hazard: plane dots are pure integer arithmetic in both engines).
+        "ann_lsh_topk": """
+            WITH qv AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> floor(x::DOUBLE * 1000000)::BIGINT) AS r
+              FROM embeddings
+            ),
+            plane_sign AS (
+              SELECT t.t, i.i, d.d,
+                     CASE WHEN ('0x' || substring(
+                              md5('lsh|' || t.t || '|' || i.i || '|' || d.d),
+                              1, 1))::INT % 2 = 0
+                          THEN 1::BIGINT ELSE (-1)::BIGINT END AS s
+              FROM (SELECT unnest(range(24)) AS t) t,
+                   (SELECT unnest(range(4)) AS i) i,
+                   (SELECT unnest(range(1, 65)) AS d) d
+            ),
+            planes AS (
+              SELECT t, i, list(s ORDER BY d) AS signs
+              FROM plane_sign GROUP BY t, i
+            ),
+            dots AS (
+              SELECT v.vec_id, p.t, p.i,
+                     list_sum(list_transform(range(1, 65),
+                                             d -> v.r[d] * p.signs[d])) AS dot
+              FROM qv v CROSS JOIN planes p
+            ),
+            bkt AS (
+              SELECT vec_id, t,
+                     sum(CASE WHEN dot > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS bucket
+              FROM dots GROUP BY vec_id, t
+            ),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+              FROM bkt a JOIN bkt b ON a.t = b.t AND a.bucket = b.bucket
+              WHERE a.vec_id < 50 AND a.vec_id != b.vec_id
+            ),
+            scored AS (
+              SELECT c.query_id, c.neighbor_id,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                  n.embedding::DOUBLE[]), 6) AS cos
+              FROM cand c
+              JOIN embeddings q ON q.vec_id = c.query_id
+              JOIN embeddings n ON n.vec_id = c.neighbor_id
+            ),
+            lsh1 AS (
+              SELECT query_id, neighbor_id AS lsh_nn
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                    ) AS rk FROM scored)
+              WHERE rk = 1
+            ),
+            ex_scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                  c.embedding::DOUBLE[]), 6) AS cos
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 50
+            ),
+            ex1 AS (
+              SELECT query_id, neighbor_id AS exact_nn
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                    ) AS rk FROM ex_scored)
+              WHERE rk = 1
+            )
+            SELECT count(*) AS n_queries,
+                   sum(CASE WHEN lsh_nn = exact_nn THEN 1 ELSE 0 END)::BIGINT AS hits,
+                   round(avg((CASE WHEN lsh_nn = exact_nn THEN 1 ELSE 0 END)::DOUBLE), 4)
+                     AS recall_at_1,
+                   (avg((CASE WHEN lsh_nn = exact_nn THEN 1 ELSE 0 END)::DOUBLE) >= 0.9)
+                     AS recall_target_met
+            FROM ex1 LEFT JOIN lsh1 USING (query_id)
+        """,
         # er_* entries intentionally omitted: seeded-RNG pipeline programs,
-        # rows-only check per the driver contract.
+        # rows-only check per the driver contract. ann_ivf_topk is also
+        # rows-only: its sampled-k-means centroids are iterative float
+        # accumulations that no independent engine can reproduce bit-
+        # identically — the query row itself carries the recall evidence.
     }

@@ -44,7 +44,9 @@ def global_rank(df: DataFrame, order_cols: list[Column | str],
     for pid, cnt in sizes:
         offsets.append((pid, acc))
         acc += cnt
-    off_df = df.sparkSession.createDataFrame(offsets, ["__pid", "__off"])
+    # explicit schema: with zero input rows `offsets` is empty and schema
+    # inference over [] raises — the empty frame must still join cleanly
+    off_df = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
     return (
         local.join(F.broadcast(off_df), "__pid")
         .withColumn(out_col, F.col("__rn_local") + F.col("__off"))

@@ -70,18 +70,29 @@ def attach_pair_attrs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame)
             lambda i: F.xxhash64(*[F.try_element_at(F.col("__th__"), i + j)
                                    for j in range(k)]),
         )
-        # Deterministic 1-in-4 shingle subsample (keep h % 4 == 0): the
-        # same filter applies on both sides, so pair Jaccard over the
-        # sample is an unbiased estimate of the true shingle Jaccard
-        # (MinHash-style subsampling) — and the pair shuffle ships 4×
-        # fewer array bytes, the dominant bandwidth cost of scoring.
-        hashed = F.filter(hashed, lambda h: F.pmod(h, F.lit(4)) == 0)
+        # Deterministic 1-in-4 shingle subsample (keep h % 4 == 0): when
+        # BOTH sides are sampled the pair Jaccard over the samples is an
+        # unbiased estimate of the true shingle Jaccard (MinHash-style
+        # subsampling) — and the pair shuffle ships 4× fewer array bytes,
+        # the dominant bandwidth cost of scoring.
+        # Short documents keep the FULL array: near the 20-token body
+        # floor a doc has ~17 shingles → ~4 sampled, a high-variance (or
+        # empty → jaccard forced to 0) estimate exactly where the gated
+        # content evidence matters most. Below 32 shingles the bandwidth
+        # saving is noise anyway, so exact Jaccard costs nothing. A
+        # ``shs_*`` flag records which form shipped so add_features can
+        # symmetrize mixed full-vs-sampled pairs at the 32 boundary.
+        use_sample = F.size(hashed) >= 32
+        hashed_out = F.when(
+            use_sample, F.filter(hashed, lambda h: F.pmod(h, F.lit(4)) == 0)
+        ).otherwise(hashed)
         return step.select(
             F.col(key_col).alias(f"rid_{alias}"),
             *[F.col(c).alias(f"{c}_{alias}") for c in PAIR_COLS],
             F.substring(F.coalesce("text", F.lit("")), 1, TEXT_PREFIX).alias(f"tp_{alias}"),
             F.length(F.coalesce("text", F.lit(""))).alias(f"tlen_{alias}"),
-            hashed.alias(f"sh_{alias}"),
+            hashed_out.alias(f"sh_{alias}"),
+            use_sample.alias(f"shs_{alias}"),
         )
 
     a = sided(clean, "url", "a")
@@ -97,9 +108,21 @@ def add_features(pairs: DataFrame) -> DataFrame:
     # (e.g. templated/boilerplate web text) make unigram sets collide on
     # unrelated documents; 4-word shingles encode order and stay ~0 for
     # non-matches while 1-2 char edits only break a handful of shingles.
-    # sh_a/sh_b are precomputed per row in attach_pair_attrs.
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # sh_a/sh_b are precomputed per row in attach_pair_attrs. Mixed pairs
+    # (one side shipped full, the other 1-in-4 sampled — possible at the
+    # 32-shingle boundary) are symmetrized by filtering the full side down
+    # to the same h%4==0 sample, so the estimate stays unbiased instead of
+    # comparing a sample against a full set (which biases Jaccard ~4× low).
+    eff_a = F.when(
+        F.col("shs_b") & ~F.col("shs_a"),
+        F.filter(F.col("sh_a"), lambda h: F.pmod(h, F.lit(4)) == 0),
+    ).otherwise(F.col("sh_a"))
+    eff_b = F.when(
+        F.col("shs_a") & ~F.col("shs_b"),
+        F.filter(F.col("sh_b"), lambda h: F.pmod(h, F.lit(4)) == 0),
+    ).otherwise(F.col("sh_b"))
+    inter = F.size(F.array_intersect(eff_a, eff_b)).cast("double")
+    union = F.size(F.array_union(eff_a, eff_b)).cast("double")
     return (
         pairs.withColumn("metric_url_jw", jaro_winkler_udf(un_a, un_b))
         .withColumn("metric_url_lev", norm_levenshtein(un_a, un_b))
@@ -201,4 +224,4 @@ def score_pairs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame) -> Da
     match_prob + prediction. Heavy payload columns (texts, shingle arrays)
     are dropped from the output — the scored table checkpoints lean."""
     out = add_match_prob(add_features(attach_pair_attrs(candidates, clean, dirty)))
-    return out.drop("sh_a", "sh_b", "tp_a", "tp_b")
+    return out.drop("sh_a", "sh_b", "shs_a", "shs_b", "tp_a", "tp_b")

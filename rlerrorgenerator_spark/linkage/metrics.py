@@ -64,7 +64,7 @@ def pairwise_metrics(labeled: DataFrame, prob_col: str = "match_prob",
     return out
 
 
-def _prob_buckets(labeled: DataFrame, prob_col: str, decimals: int = 9) -> DataFrame:
+def _prob_buckets(labeled: DataFrame, prob_col: str, decimals: int = 5) -> DataFrame:
     """Per-distinct-probability aggregate ``(p, n, ny)`` — the bounded
     table every cumulative-precision scan runs over.
 
@@ -72,9 +72,13 @@ def _prob_buckets(labeled: DataFrame, prob_col: str, decimals: int = 9) -> DataF
     partition-less ``Window.orderBy`` over it is a single-task global sort
     (the round-1 scale-killer). Aggregating per probability bucket first
     is one shuffle with map-side combine; the windowed scan then touches
-    only distinct probability values (≤ 10^decimals+1, in practice a few
-    thousand for any real scorer/model), which is broadcast-/single-task-
-    safe by construction."""
+    only bucketed probability values. ``decimals`` must actually BOUND the
+    bucket count: continuous scorers (logreg/MLP probabilities, the ts_sim
+    term) emit near-unique values, so at 9 decimals the bucket table would
+    degenerate back to ~n_pairs rows and the bounded window would again be
+    a single-task global sort. 5 decimals caps the table at ≤ 100,001 rows
+    regardless of input size while keeping AUC/threshold quantization
+    error ≤ 5e-6 — far below the metric gates."""
     return (
         labeled.select(
             F.round(F.col(prob_col), decimals).alias("p"),

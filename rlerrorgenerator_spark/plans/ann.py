@@ -82,37 +82,65 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     )
 
 
-def _sign_bucket(vec, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH bucket id: sign bits of <v, p_i> packed into
-    a long. ``planes`` are driver-side constants (deterministic seed)."""
+def rademacher_planes(table: int, n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 (Rademacher) hyperplanes derived from md5 — the
+    same cross-engine discipline as the MinHash md5-u64 trick: DuckDB's
+    ``md5()`` reproduces these signs bit-identically, so the whole LSH
+    bucketing is oracle-checkable in SQL. Sign-LSH with Rademacher
+    projections has the same collision-probability guarantee as Gaussian
+    planes (Charikar's SimHash argument needs only symmetric projections).
+    """
+    import hashlib
+
+    return [
+        [1 if int(hashlib.md5(f"lsh|{table}|{i}|{d}".encode())
+                  .hexdigest()[0], 16) % 2 == 0 else -1
+         for d in range(1, dim + 1)]
+        for i in range(n_planes)
+    ]
+
+
+def _quantize(vec) -> Column:
+    """floor(x·1e6) per component as long — float32→double widening and
+    floor are exact and identical in Spark and DuckDB, so every dot
+    product against ±1 planes is pure integer arithmetic with NO
+    accumulation-order float hazard across engines."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"))
+
+
+def _sign_bucket(qvec, planes: list[list[int]]) -> Column:
+    """Sign-LSH bucket id over a pre-quantized long vector: sign bits of
+    the integer dot <floor(v·1e6), s_i> packed into a long."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        bit = (_dot(vec, arr) > 0).cast("long")
-        bucket = bucket + F.shiftleft(bit, i)
+        arr = F.array(*[F.lit(int(x)).cast("long") for x in p])
+        dot = F.aggregate(
+            F.zip_with(qvec, arr, lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.shiftleft((dot > 0).cast("long"), i)
     return bucket
 
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = 8, n_tables: int = 2, dim: int = 64,
-             seed: int = 42, round_to: int = 6) -> DataFrame:
+             round_to: int = 6) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ≥1 of
     ``n_tables`` sign-LSH tables, then exact cosine + rank. Scale path for
-    the brute-force baseline (bucket equi-join instead of cross join)."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
+    the brute-force baseline (bucket equi-join instead of cross join).
+    Planes are md5-derived Rademacher (see ``rademacher_planes``) so an
+    independent engine can reproduce the exact candidate sets."""
     cand = None
     for t in range(n_tables):
-        planes = rng.standard_normal((n_planes, dim)).tolist()
+        planes = rademacher_planes(t, n_planes, dim)
         q = queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-            _sign_bucket(F.col(vec_col), planes).alias("bucket"),
+            _sign_bucket(_quantize(F.col(vec_col)), planes).alias("bucket"),
         )
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-            _sign_bucket(F.col(vec_col), planes).alias("bucket"),
+            _sign_bucket(_quantize(F.col(vec_col)), planes).alias("bucket"),
         )
         part = q.join(c, "bucket").where(F.col("query_id") != F.col("neighbor_id")) \
                 .select("query_id", "qv", "neighbor_id", "cv")

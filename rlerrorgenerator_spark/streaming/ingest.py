@@ -113,18 +113,16 @@ def crawl_sessionize(pages: DataFrame, gap: str = "30 minutes",
                 "n_pages": [n],
             })
             return
-        closed = []
         cur = state.get if state.exists else None
+        # A group's micro-batch rows arrive as MULTIPLE Arrow chunks in
+        # arbitrary order; sorting per chunk is not enough — a later chunk
+        # holding earlier timestamps would produce a negative gap and merge
+        # sessions that should split. Accumulate every chunk first, sort
+        # once globally, then run the gap-split scan.
+        all_ts: list[int] = []
         for b in batches:
-            ts = sorted(int(t.value // 10**6) for t in pd.to_datetime(b["warc_ts"]))
-            for t in ts:
-                if cur is None:
-                    cur = (t, t, 1)
-                elif t - cur[1] <= gap_ms:
-                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
-                else:
-                    closed.append(cur)
-                    cur = (t, t, 1)
+            all_ts.extend(int(t.value // 10**6) for t in pd.to_datetime(b["warc_ts"]))
+        closed, cur = _gap_split(all_ts, cur, gap_ms)
         if cur is not None:
             state.update(cur)
             state.setTimeoutDuration(gap_ms)
@@ -147,6 +145,26 @@ def crawl_sessionize(pages: DataFrame, gap: str = "30 minutes",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def _gap_split(ts_ms: list[int], cur: tuple[int, int, int] | None,
+               gap_ms: int) -> tuple[list[tuple[int, int, int]],
+                                     tuple[int, int, int] | None]:
+    """Gap-based session split over a (possibly unsorted) timestamp list.
+
+    Sorts ONCE globally — the result is independent of the order chunks
+    delivered the timestamps in. Returns (closed_sessions, open_session),
+    each session a (start_ms, last_ms, count) tuple."""
+    closed: list[tuple[int, int, int]] = []
+    for t in sorted(ts_ms):
+        if cur is None:
+            cur = (t, t, 1)
+        elif t - cur[1] <= gap_ms:
+            cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        else:
+            closed.append(cur)
+            cur = (t, t, 1)
+    return closed, cur
 
 
 def _parse_duration_ms(text: str) -> int:

@@ -186,3 +186,45 @@ def test_cc_salted_hot_node(spark):
     comp = {v for k, v in salted.items() if k.startswith("n") or k == "hub"}
     assert comp == {"hub"}
     assert salted["x1"] == salted["x2"] == "x1"
+
+
+def test_shingle_jaccard_mixed_sample_boundary(spark):
+    """Docs straddling the 32-shingle subsample boundary (one side ships
+    the full shingle array, the other the 1-in-4 sample) must still see a
+    high Jaccard for near-identical content — the full side is filtered to
+    the same sample at pair time instead of biasing the estimate ~4x low."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from rlerrorgenerator_spark.linkage.features import score_pairs
+
+    base = " ".join(f"w{i}" for i in range(34))          # 31 shingles -> full
+    longer = base + " x1 x2 x3"                           # 34 shingles -> sampled
+    ts = dt.datetime(2024, 1, 1)
+    clean = spark.createDataFrame(
+        [("https://a.com/p", ts, longer, "en")],
+        "url string, warc_ts timestamp, text string, lang string",
+    )
+    dirty = spark.createDataFrame(
+        [("r1", "https://a.com/p", ts, base, "en")],
+        "rid string, url string, warc_ts timestamp, text string, lang string",
+    )
+    cand = spark.createDataFrame([("https://a.com/p", "r1")], "rid_a string, rid_b string")
+    row = score_pairs(cand, clean, dirty).collect()[0]
+    # true shingle jaccard is 31/34 ~ 0.91; the symmetrized sampled
+    # estimate must stay in the same regime (and above the 0.5 gate)
+    assert row["metric_text_jaccard"] >= 0.5
+    # and two short docs (both full arrays) get EXACT jaccard
+    short_a = " ".join(f"s{i}" for i in range(20))        # 17 shingles
+    clean2 = spark.createDataFrame(
+        [("https://b.com/p", ts, short_a, "en")],
+        "url string, warc_ts timestamp, text string, lang string",
+    )
+    dirty2 = spark.createDataFrame(
+        [("r2", "https://b.com/p", ts, short_a, "en")],
+        "rid string, url string, warc_ts timestamp, text string, lang string",
+    )
+    cand2 = spark.createDataFrame([("https://b.com/p", "r2")], "rid_a string, rid_b string")
+    row2 = score_pairs(cand2, clean2, dirty2).collect()[0]
+    assert row2["metric_text_jaccard"] == 1.0

@@ -101,3 +101,57 @@ def test_calibration_clamp_saturates(spark):
     n_err = lineage.count()
     assert n_err == 40  # every row blanked, not 1
     assert dirty.where(F.col("lang").isNull()).count() == 40
+
+
+def test_prob_buckets_bounded(spark):
+    """Near-unique continuous probabilities (the logreg/MLP case) must
+    still collapse to a BOUNDED bucket table — at the old 9-decimal
+    default the bucket count was ~n_pairs and the bounded window
+    degenerated to a single-task global sort."""
+    from pyspark.sql import functions as F
+
+    from rlerrorgenerator_spark.linkage.metrics import _prob_buckets, auc_metrics
+
+    n = 20000
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") / n + F.xxhash64("id") % 1000 / 1e9).alias("match_prob"),
+            (F.col("id") % 3 == 0).alias("label"),
+        )
+    )
+    n_buckets = _prob_buckets(df, "match_prob").count()
+    assert n_buckets <= 100_001
+    # quantization must not visibly move AUC: compare 5 vs 7 decimals
+    a5 = auc_metrics(df).collect()[0]["auc"]
+    a7_buckets = _prob_buckets(df, "match_prob", decimals=7)
+    assert abs(a5 - _auc_from_buckets(a7_buckets)) < 1e-3
+
+
+def _auc_from_buckets(per):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.withColumn(
+        "before", F.coalesce(F.sum("n").over(w), F.lit(0))
+    ).withColumn("avg_rank", F.col("before") + (F.col("n") + 1) / 2.0)
+    agg = ranked.agg(
+        F.sum(F.col("ny") * F.col("avg_rank")).alias("rank_sum"),
+        F.sum("ny").alias("npos"),
+        F.sum(F.col("n") - F.col("ny")).alias("nneg"),
+    ).collect()[0]
+    return (agg["rank_sum"] - agg["npos"] * (agg["npos"] + 1) / 2.0) / max(
+        agg["npos"] * agg["nneg"], 1
+    )
+
+
+def test_global_rank_empty_input(spark):
+    from pyspark.sql import functions as F
+
+    from rlerrorgenerator_spark.functions.rank import global_rank
+
+    df = spark.range(10).select(F.col("id")).where(F.col("id") < 0)
+    out = global_rank(df, ["id"], out_col="rn")
+    assert out.count() == 0
+    assert "rn" in out.columns

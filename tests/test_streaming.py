@@ -70,10 +70,39 @@ def test_crawl_sessionize_stateful(spark, tmp_path):
         sessions.writeStream.format("memory").queryName("sess")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination()
-    got = {(r.host, r.n_pages) for r in spark.sql("select * from sess").collect()}
-    # within one availableNow drain only sessions CLOSED by a later fetch
-    # are emitted (open sessions wait for the processing-time timeout in a
-    # long-running stream) — host A's first session closed when the
-    # 130-minute fetch arrived
+    # Do NOT awaitTermination(): with ProcessingTimeTimeout the
+    # availableNow drain keeps scheduling no-data micro-batches until the
+    # pending open-session timeouts (gap = 30 min!) fire. The session we
+    # assert on is CLOSED by a later fetch and emitted in the first data
+    # batch — poll for it, then stop the query.
+    import time
+
+    deadline = time.time() + 180
+    got: set = set()
+    while time.time() < deadline:
+        got = {(r.host, r.n_pages) for r in spark.sql("select * from sess").collect()}
+        if ("hosta.com", 3) in got:
+            break
+        time.sleep(2)
+    q.stop()
+    # host A's first session closed when the 130-minute fetch arrived
     assert ("hosta.com", 3) in got
+
+
+def test_gap_split_chunk_order_independent():
+    """The sessionizer's scan must not depend on the order Arrow chunks
+    deliver a group's rows: a later chunk holding earlier timestamps
+    previously produced negative gaps that merged separate sessions."""
+    from rlerrorgenerator_spark.streaming.ingest import _gap_split
+
+    gap = 30 * 60000
+    # two sessions: [0, 5, 10] min and [130, 135] min
+    mins = [0, 5, 10, 130, 135]
+    ts = [m * 60000 for m in mins]
+    want_closed, want_open = _gap_split(ts, None, gap)
+    assert [c[2] for c in want_closed] == [3]
+    assert want_open[2] == 2
+    # adversarial delivery: the "later" chunk arrives first
+    shuffled = [m * 60000 for m in (130, 135, 0, 5, 10)]
+    got_closed, got_open = _gap_split(shuffled, None, gap)
+    assert (got_closed, got_open) == (want_closed, want_open)
