@@ -157,6 +157,30 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", langid("text").alias("lang_pred"))
 
 
+def doc_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style (BPE-ish regex) pre-token counts next to the
+    whitespace count."""
+    from rlerrorgenerator_spark.functions.textops import token_count, token_count_bpe
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_ws_tokens"),
+        token_count_bpe("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (MOSS scheme), one row per
+    (doc_id, fingerprint)."""
+    from rlerrorgenerator_spark.functions.textops import with_winnow_fps
+
+    docs = _load(spark, sf_dir, "documents")
+    return with_winnow_fps(docs, "text", "fps", k=8, w=16).select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
+
+
 # ------------------------------------------------------------------- dedup
 # The driver corpus has no duplicates at sf0.01, so dedup queries run on a
 # deterministically "doubled" corpus: documents ∪ (shifted-id copies, one
@@ -352,9 +376,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_stats": events_type_stats,
         "top_users_by_value": top_users_by_value,
         "doc_tokens": doc_tokens,
+        "doc_tokens_bpe": doc_tokens_bpe,
         "doc_quality": doc_quality,
         "doc_fingerprint": doc_fingerprint,
         "doc_langid": doc_langid,
+        "doc_winnow": doc_winnow,
         "dup_exact_groups": dup_exact_groups,
         "dup_ngram_jaccard": dup_ngram_jaccard,
         "dup_minhash": dup_minhash,
@@ -505,6 +531,32 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens": """
             SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
             FROM documents
+        """,
+        "doc_tokens_bpe": """
+            SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_winnow": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, greatest(length(text) - 7, 1)),
+                       i -> lpad((('0x' || substring(md5(substring(text, i, 8)),
+                                                     17, 16))::UBIGINT)::varchar,
+                                 20, '0')) AS hs
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(hs) - 15, 1)),
+                       j -> list_min(hs[j:j+15]))) AS fps
+              FROM g
+            )
+            SELECT doc_id, unnest(fps) AS fp FROM w
         """,
         "doc_quality": f"""
             WITH base AS (

@@ -103,6 +103,60 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer shape: letter runs, digit runs, single
+# punctuation marks. Kept to constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB) so the count is oracle-exact.
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_count_bpe(col) -> Column:
+    """Subword-style token count: number of BPE-ish regex pre-tokens
+    (letter runs / digit runs / punctuation singletons). The whitespace
+    count (``token_count``) underestimates tokenizer load on punctuated
+    or numeric text; this is the standard pre-tokenization granularity."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.size(F.regexp_extract_all(F.coalesce(c, F.lit("")),
+                                       F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def with_winnow_fps(df: DataFrame, text_col: str = "text",
+                    out_col: str = "winnow_fps",
+                    k: int = 8, w: int = 16) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash selection, the MOSS
+    scheme): hash every char ``k``-gram, slide a ``w``-wide window, keep
+    each window's MINIMUM hash, dedupe. Guarantee: any shared substring
+    of length ≥ w + k − 1 between two documents yields at least one
+    shared fingerprint, while only ~2/(w+1) of gram hashes are kept.
+
+    Engine notes:
+    - gram hashes use the md5→u64 zero-padded-decimal-string discipline
+      (see plans/dedup.py::_md5_u64) so DuckDB reproduces them exactly;
+    - the hash array is projected as a BOUND attribute before the window
+      ``transform`` — an inline expression would re-evaluate the whole
+      gram hashing once per window position (no CSE across higher-order-
+      function lambdas; see the word_shingles PERF TRAP);
+    - the window scan is O(n·w) per document (w is a small constant). For
+      book-length documents a monotonic-deque ``mapInPandas`` pass is the
+      O(n) alternative; web-page texts don't need it.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    gram_hash = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.lpad(
+            F.conv(F.substring(F.md5(F.substring(t, i, k)), 17, 16), 16, 10),
+            20, "0",
+        ),
+    )
+    step = df.withColumn("__gh__", gram_hash)
+    m = F.greatest(F.size("__gh__") - F.lit(w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda j: F.array_min(F.slice(F.col("__gh__"), j, w)),
+    )
+    return step.withColumn(out_col, F.array_distinct(mins)).drop("__gh__")
+
+
 def word_shingles(col, k: int = 5) -> Column:
     """k-word shingles as array<string> (the near-dup unit for n-gram
     Jaccard and MinHash) — built-in only: slice over the token array.

@@ -201,3 +201,54 @@ def test_ivf_topk_clustered(spark):
               for r in ivf_topk(q, df, k=1, n_centroids=16, n_probe=3).collect()}
     hits = sum(1 for k2, v in exact.items() if approx.get(k2) == v)
     assert hits / len(exact) >= 0.9
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing (k=8, w=16): any shared substring of length >= w+k-1=23
+    chars yields at least one shared fingerprint; disjoint-alphabet texts
+    share none; and the Spark output matches a pure-Python reference."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from rlerrorgenerator_spark.functions.textops import with_winnow_fps
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    a = "prefix one " + shared + " suffix alpha"
+    b = "completely different opening, " + shared + ", other close"
+    c = "0123456789" * 9  # digits only — no 8-gram overlap with a or b
+    df = spark.createDataFrame(
+        [("a", a), ("b", b), ("c", c)], "doc_id string, text string")
+    rows = {r["doc_id"]: set(r["fps"])
+            for r in with_winnow_fps(df, "text", "fps", k=8, w=16).collect()}
+    assert rows["a"] & rows["b"], "shared 23+ char substring must share a fp"
+    assert not (rows["a"] & rows["c"])
+    assert not (rows["b"] & rows["c"])
+
+    def py_winnow(text, k=8, w=16):
+        n = max(len(text) - k + 1, 1)
+        hs = []
+        for i in range(n):
+            h = hashlib.md5(text[i:i + k].encode()).hexdigest()
+            hs.append(str(int(h[16:32], 16)).zfill(20))
+        m = max(len(hs) - w + 1, 1)
+        return {min(hs[j:j + w]) for j in range(m)}
+
+    for doc_id, text in (("a", a), ("b", b), ("c", c)):
+        assert rows[doc_id] == py_winnow(text), doc_id
+
+
+def test_token_count_bpe(spark):
+    from pyspark.sql import functions as F
+
+    from rlerrorgenerator_spark.functions.textops import token_count, token_count_bpe
+
+    df = spark.createDataFrame(
+        [("x", "hello, world! v2.0 has 3 bugs")], "id string, text string")
+    r = df.select(
+        token_count("text").alias("ws"),
+        token_count_bpe("text").alias("bpe"),
+    ).collect()[0]
+    # ws: 6 space-split tokens; bpe: hello , world ! v 2 . 0 has 3 bugs = 11
+    assert r["ws"] == 6
+    assert r["bpe"] == 11
