@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from rlerrorgenerator_spark.rng import bernoulli_col, rank_col
+from rlerrorgenerator_spark.rng import bernoulli_col, rank_col, seeded_bernoulli
 
 KEY = "rid"
 
@@ -109,6 +109,7 @@ def choose_ids(
     stage: str,
     exact: bool = True,
     rate: float | None = None,
+    rng: str = "xxhash",
 ) -> DataFrame:
     """Seeded sample of ``k`` eligible row keys, without replacement.
 
@@ -116,12 +117,14 @@ def choose_ids(
                   (test-scale & "exactly k" semantics of the reference).
     exact=False → hash-threshold Bernoulli(rate): no ranking, the
                   10^12-row path (binomially equivalent; SURVEY.md §4).
+    ``rng='md5'`` (Bernoulli only) makes the selection reproducible in a
+    DuckDB oracle (rng.py md5 mode).
     """
     cand = df.where(eligible).select(KEY)
     if exact:
         return cand.orderBy(rank_col(KEY, seed, stage)).limit(int(k))
     assert rate is not None
-    return cand.where(bernoulli_col(KEY, seed, stage, rate))
+    return cand.where(seeded_bernoulli(KEY, seed, stage, rate, rng))
 
 
 def select_rows(
@@ -132,6 +135,7 @@ def select_rows(
     stage: str,
     exact: bool = True,
     rate: float | None = None,
+    rng: str = "xxhash",
 ) -> DataFrame | Column:
     """Row selection for a transform: either a key DataFrame (exact-k via
     seeded top-k) or — the scale path — a plain boolean COLUMN predicate
@@ -142,7 +146,7 @@ def select_rows(
     if exact:
         return choose_ids(df, eligible, k, seed, stage, True, rate)
     assert rate is not None
-    return eligible & bernoulli_col(KEY, seed, stage, rate)
+    return eligible & seeded_bernoulli(KEY, seed, stage, rate, rng)
 
 
 def apply_cell_edit(

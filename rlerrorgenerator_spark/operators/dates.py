@@ -27,6 +27,7 @@ from rlerrorgenerator_spark.operators.base import (
     select_rows,
     split_across_cols,
 )
+from rlerrorgenerator_spark.rng import MD5_RNG, draw_token, md5_mod
 
 
 def _date_part(col: str, is_ts: bool) -> Column:
@@ -52,7 +53,8 @@ def _seeded_int(stage: str, mod: int) -> Column:
 @register("date_swap")
 def date_swap(df: DataFrame, lineage: DataFrame, n_errors: int,
               col_names: list[str], *, seed: int, stage: str, ts: int,
-              exact: bool = True, rate: float | None = None):
+              exact: bool = True, rate: float | None = None,
+              rng: str = "xxhash"):
     """Swap day↔month where ``day < 13 && month != day``
     (`R/7_dob_errors.R:28-82`)."""
     per_col = split_across_cols(n_errors, len(col_names))
@@ -66,7 +68,7 @@ def date_swap(df: DataFrame, lineage: DataFrame, n_errors: int,
             & (F.dayofmonth(d) < 13)
             & (F.month(d) != F.dayofmonth(d))
         )
-        sel = select_rows(df, eligible, per_col, seed, st, exact, rate)
+        sel = select_rows(df, eligible, per_col, seed, st, exact, rate, rng=rng)
         # SELF-GUARDED make_date: Catalyst may push this projection below
         # the selection semi-join (expressions are assumed pure), so under
         # ANSI mode the swapped date must be total over ALL rows — the
@@ -83,7 +85,7 @@ def date_swap(df: DataFrame, lineage: DataFrame, n_errors: int,
 def date_transpose(df: DataFrame, lineage: DataFrame, n_errors: int,
                    col_names: list[str], *, seed: int, stage: str, ts: int,
                    token: str = "day", exact: bool = True,
-                   rate: float | None = None):
+                   rate: float | None = None, rng: str = "xxhash"):
     """Transpose the two digits of the zero-padded day, or the last two
     digits of the year (`R/7_dob_errors.R:85-193`).
 
@@ -129,7 +131,7 @@ def date_transpose(df: DataFrame, lineage: DataFrame, n_errors: int,
             new_date = F.when(
                 eligible, F.make_date(newy, F.month(d), F.dayofmonth(d))
             ).otherwise(d)
-        sel = select_rows(df, eligible, per_col, seed, st, exact, rate)
+        sel = select_rows(df, eligible, per_col, seed, st, exact, rate, rng=rng)
         new = _rebuild(col, is_ts, new_date)
         df, ln = apply_cell_edit(df, col, sel, new, f"date_transpose_{token}", ts)
         lineages.append(ln)
@@ -140,7 +142,7 @@ def date_transpose(df: DataFrame, lineage: DataFrame, n_errors: int,
 def date_replace(df: DataFrame, lineage: DataFrame, n_errors: int,
                  col_names: list[str], *, seed: int, stage: str, ts: int,
                  token: str = "day", exact: bool = True,
-                 rate: float | None = None):
+                 rate: float | None = None, rng: str = "xxhash"):
     """Replace a date component (`R/7_dob_errors.R:197-256`):
 
     - year: replace one of the last two year digits with a different digit;
@@ -158,8 +160,12 @@ def date_replace(df: DataFrame, lineage: DataFrame, n_errors: int,
         st = f"{stage}|date_repl_{token}|{col}"
         is_ts = _is_ts(df, col)
         d = _date_part(col, is_ts)
-        u = _seeded_int(st, 9)          # 0..8
-        upos = _seeded_int(st + "#pos", 2)  # which digit
+        if rng == MD5_RNG:
+            u = md5_mod(draw_token(seed, st, "digit"), KEY, 9)      # 0..8
+            upos = md5_mod(draw_token(seed, st, "pos"), KEY, 2)     # which digit
+        else:
+            u = _seeded_int(st, 9)          # 0..8
+            upos = _seeded_int(st + "#pos", 2)  # which digit
         maxday = F.dayofmonth(F.last_day(d))
         if token == "year":
             y = F.year(d)
@@ -177,7 +183,9 @@ def date_replace(df: DataFrame, lineage: DataFrame, n_errors: int,
             ).otherwise(d)
         elif token == "month":
             m = F.month(d)
-            newm = (m - 1 + 1 + _seeded_int(st, 11)) % 12 + 1
+            um = (md5_mod(draw_token(seed, st, "month"), KEY, 11)
+                  if rng == MD5_RNG else _seeded_int(st, 11))
+            newm = (m - 1 + 1 + um) % 12 + 1
             # validity: day must exist in the new month (reference's
             # valid_months, `:259-268` — with its swapped-arg behavior
             # reproduced as plain day-in-month validity)
@@ -199,7 +207,7 @@ def date_replace(df: DataFrame, lineage: DataFrame, n_errors: int,
             newday = F.greatest(F.lit(1), F.least(cand, maxday))
             eligible = F.col(col).isNotNull()
             new_date = F.make_date(F.year(d), F.month(d), newday)
-        sel = select_rows(df, eligible, per_col, seed, st, exact, rate)
+        sel = select_rows(df, eligible, per_col, seed, st, exact, rate, rng=rng)
         new = _rebuild(col, is_ts, new_date)
         df, ln = apply_cell_edit(df, col, sel, new, f"date_replace_{token}", ts)
         # drop no-op lineage rows (e.g. month replace that clamped back)
@@ -224,13 +232,14 @@ def date_replace(df: DataFrame, lineage: DataFrame, n_errors: int,
 def gen_birthday_from_age(df: DataFrame, lineage: DataFrame, n_errors: int,
                           col_names: list[str], *, seed: int, stage: str, ts: int,
                           age: str, out_col: str = "dob",
-                          as_of_year: int = 2024, **_):
+                          as_of_year: int = 2024, rng: str = "xxhash", **_):
     """Synthesize a dob column from an age column
     (`R/7_dob_errors.R:1-25`): random day within the year, year forced to
     ``as_of_year − age``. Applies to ALL rows (it's a generator, not an
     error). Deterministic per row."""
     st = f"{stage}|gen_bday"
-    doy = _seeded_int(st, 365)
+    doy = (md5_mod(draw_token(seed, st, "doy"), KEY, 365)
+           if rng == MD5_RNG else _seeded_int(st, 365))
     year = F.lit(as_of_year) - F.col(age).cast("int")
     new = F.date_add(F.make_date(year, F.lit(1), F.lit(1)), doy)
     out = df.withColumn(out_col, new)

@@ -35,7 +35,7 @@ from rlerrorgenerator_spark.operators.base import (
     split_across_cols,
 )
 from rlerrorgenerator_spark.operators.charsets import CHARSETS, CONFUSION_MAPS
-from rlerrorgenerator_spark.rng import draw_streams, seed64_col
+from rlerrorgenerator_spark.rng import MD5_RNG, draw_streams, draw_token, md5_u64_str, seed64_col
 
 
 def _resolve_charset(charset: str) -> tuple[str | None, dict[str, str] | None]:
@@ -88,24 +88,48 @@ def _make_udf_flagged(fn, seed: int, stage: str):
     return udf
 
 
+def _make_udf_md5(fn):
+    """md5-mode variant: the three u64 draws arrive as JVM-computed
+    DECIMAL STRINGS (rng.md5_u64_str — the cross-engine draw a DuckDB
+    oracle reproduces bit-identically); the UDF does no hashing at all."""
+    @F.pandas_udf("string")
+    def udf(val: pd.Series, flag: pd.Series, d0: pd.Series, d1: pd.Series,
+            d2: pd.Series) -> pd.Series:
+        out = []
+        for v, f, a, b, c in zip(val.to_numpy(), flag.to_numpy(),
+                                 d0.to_numpy(), d1.to_numpy(), d2.to_numpy()):
+            if not f or v is None:
+                out.append(v)
+                continue
+            out.append(fn((int(a), int(b), int(c)), str(v)))
+        return pd.Series(out, dtype="object")
+
+    return udf
+
+
 def _apply_editor(df, col, scalar_fn, error_name, per_col, seed, st, ts,
-                  exact, rate, eligible):
+                  exact, rate, eligible, rng_mode: str = "xxhash"):
     """Shared skeleton: selection (exact-k DataFrame or inline predicate)
     + UDF wiring + apply_cell_edit."""
-    sel = select_rows(df, eligible, per_col, seed, st, exact, rate)
-    s64 = seed64_col(KEY, seed, st)
+    sel = select_rows(df, eligible, per_col, seed, st, exact, rate, rng=rng_mode)
     if isinstance(sel, Column):
-        udf = _make_udf_flagged(scalar_fn, seed, st)
         # ship NULL instead of the (KB-scale) value for unselected rows:
         # the Arrow exchange then carries ~rate×|col| bytes instead of
         # |col| bytes — at a few % selection this cuts the Python
         # round-trip ~20×, the measured bandwidth bound of the inject
         # stage. Selected ⇒ eligible ⇒ non-null, so NULL is unambiguous.
         gated = F.when(F.col("__sel"), F.col(col))
-        new_value = udf(gated, F.col("__sel"), s64)
+        if rng_mode == MD5_RNG:
+            udf = _make_udf_md5(scalar_fn)
+            draws = [md5_u64_str(draw_token(seed, st, f"d{i}"), KEY)
+                     for i in range(3)]
+            new_value = udf(gated, F.col("__sel"), *draws)
+        else:
+            udf = _make_udf_flagged(scalar_fn, seed, st)
+            new_value = udf(gated, F.col("__sel"), seed64_col(KEY, seed, st))
     else:
         udf = _make_udf(scalar_fn, seed, st)
-        new_value = udf(F.col(col), s64)
+        new_value = udf(F.col(col), seed64_col(KEY, seed, st))
     return apply_cell_edit(df, col, sel, new_value, error_name, ts)
 
 
@@ -167,7 +191,7 @@ def _tpose_one(u, s: str) -> str:
 @register("indel")
 def indel(df: DataFrame, lineage: DataFrame, n_errors: int, col_names: list[str],
           *, seed: int, stage: str, ts: int, charset: str = "letters",
-          exact: bool = True, rate: float | None = None):
+          exact: bool = True, rate: float | None = None, rng: str = "xxhash"):
     """Insert-or-delete one char (`R/2_edit_distance_errors.R:5-93`)."""
     per_col = split_across_cols(n_errors, len(col_names))
     cs, _ = _resolve_charset(charset)
@@ -175,8 +199,9 @@ def indel(df: DataFrame, lineage: DataFrame, n_errors: int, col_names: list[str]
     for col in col_names:
         st = f"{stage}|indel|{col}"
         eligible = F.col(col).isNotNull() & (F.length(col) > 0)
-        df, ln = _apply_editor(df, col, lambda rng, s, cs=cs: _indel_one(rng, s, cs),
-                               "indel", per_col, seed, st, ts, exact, rate, eligible)
+        df, ln = _apply_editor(df, col, lambda u, s, cs=cs: _indel_one(u, s, cs),
+                               "indel", per_col, seed, st, ts, exact, rate,
+                               eligible, rng_mode=rng)
         lineages.append(ln)
     return df, _union(lineages)
 
@@ -184,7 +209,7 @@ def indel(df: DataFrame, lineage: DataFrame, n_errors: int, col_names: list[str]
 @register("repl")
 def repl(df: DataFrame, lineage: DataFrame, n_errors: int, col_names: list[str],
          *, seed: int, stage: str, ts: int, charset: str = "letters",
-         exact: bool = True, rate: float | None = None):
+         exact: bool = True, rate: float | None = None, rng: str = "xxhash"):
     """Replace one char with a different one (`R/2_edit:99-180`); with
     ``charset='keyboard'|'ocr'`` replacement follows a confusion map."""
     per_col = split_across_cols(n_errors, len(col_names))
@@ -199,8 +224,8 @@ def repl(df: DataFrame, lineage: DataFrame, n_errors: int, col_names: list[str],
             eligible = eligible & F.col(col).rlike(pat)
         name = "repl" if confusion is None else f"repl_{charset}"
         df, ln = _apply_editor(
-            df, col, lambda rng, s, cs=cs, cf=confusion: _repl_one(rng, s, cs, cf),
-            name, per_col, seed, st, ts, exact, rate, eligible,
+            df, col, lambda u, s, cs=cs, cf=confusion: _repl_one(u, s, cs, cf),
+            name, per_col, seed, st, ts, exact, rate, eligible, rng_mode=rng,
         )
         lineages.append(ln)
     return df, _union(lineages)
@@ -209,7 +234,7 @@ def repl(df: DataFrame, lineage: DataFrame, n_errors: int, col_names: list[str],
 @register("tpose")
 def tpose(df: DataFrame, lineage: DataFrame, n_errors: int, col_names: list[str],
           *, seed: int, stage: str, ts: int, exact: bool = True,
-          rate: float | None = None):
+          rate: float | None = None, rng: str = "xxhash"):
     """Transpose two adjacent differing chars (`R/2_edit:199-276`)."""
     per_col = split_across_cols(n_errors, len(col_names))
     lineages = []
@@ -223,8 +248,9 @@ def tpose(df: DataFrame, lineage: DataFrame, n_errors: int, col_names: list[str]
             & (F.length(col) > 1)
             & (F.col(col) != F.expr(f"repeat(substring({col}, 1, 1), length({col}))"))
         )
-        df, ln = _apply_editor(df, col, lambda rng, s: _tpose_one(rng, s),
-                               "tpose", per_col, seed, st, ts, exact, rate, eligible)
+        df, ln = _apply_editor(df, col, lambda u, s: _tpose_one(u, s),
+                               "tpose", per_col, seed, st, ts, exact, rate,
+                               eligible, rng_mode=rng)
         lineages.append(ln)
     return df, _union(lineages)
 

@@ -27,14 +27,15 @@ import re as _re
 @register("first_letter_abbreviate")
 def first_letter_abbreviate(df: DataFrame, lineage: DataFrame, n_errors: int,
                             col_names: list[str], *, seed: int, stage: str,
-                            ts: int, exact: bool = True, rate: float | None = None):
+                            ts: int, exact: bool = True, rate: float | None = None,
+                            rng: str = "xxhash"):
     """Truncate value to its first character (`R/4_abbreviations.R:1-27`)."""
     per_col = split_across_cols(n_errors, len(col_names))
     lineages = []
     for col in col_names:
         st = f"{stage}|abbr|{col}"
         eligible = F.col(col).isNotNull() & (F.length(col) > 1)
-        sel = select_rows(df, eligible, per_col, seed, st, exact, rate)
+        sel = select_rows(df, eligible, per_col, seed, st, exact, rate, rng=rng)
         df, ln = apply_cell_edit(
             df, col, sel, F.substring(F.col(col), 1, 1),
             "first_letter_abbreviate", ts,
@@ -47,7 +48,7 @@ def first_letter_abbreviate(df: DataFrame, lineage: DataFrame, n_errors: int,
 def ch1_to_ch2(df: DataFrame, lineage: DataFrame, n_errors: int,
                col_names: list[str], *, seed: int, stage: str, ts: int,
                ch1: str, ch2: str, all: bool = True,  # noqa: A002 (reference kwarg name)
-               exact: bool = True, rate: float | None = None):
+               exact: bool = True, rate: float | None = None, rng: str = "xxhash"):
     """Replace literal ch1→ch2, all or first occurrence
     (`R/4_abbreviations.R:40-97`). Eligibility: ch1 appears flanked by
     alphanumerics (`str_detect(.., '[[:alnum:]]ch1[[:alnum:]]')`, `:56`)."""
@@ -58,7 +59,7 @@ def ch1_to_ch2(df: DataFrame, lineage: DataFrame, n_errors: int,
     for col in col_names:
         st = f"{stage}|ch1ch2|{col}"
         eligible = F.col(col).isNotNull() & F.col(col).rlike(flanked)
-        sel = select_rows(df, eligible, per_col, seed, st, exact, rate)
+        sel = select_rows(df, eligible, per_col, seed, st, exact, rate, rng=rng)
         if all:
             new = F.regexp_replace(F.col(col), q1, ch2)
         else:
@@ -77,24 +78,29 @@ def ch1_to_ch2(df: DataFrame, lineage: DataFrame, n_errors: int,
 
 @register("blanks_to_hyphens")
 def blanks_to_hyphens(df, lineage, n_errors, col_names, *, seed, stage, ts,
-                      exact: bool = True, rate: float | None = None):
+                      exact: bool = True, rate: float | None = None,
+                      rng: str = "xxhash"):
     """`R/4_abbreviations.R:29-31` — delegates to ch1_to_ch2(' ', '-')."""
     return ch1_to_ch2(df, lineage, n_errors, col_names, seed=seed, stage=stage,
-                      ts=ts, ch1=" ", ch2="-", all=True, exact=exact, rate=rate)
+                      ts=ts, ch1=" ", ch2="-", all=True, exact=exact, rate=rate,
+                      rng=rng)
 
 
 @register("hyphens_to_blanks")
 def hyphens_to_blanks(df, lineage, n_errors, col_names, *, seed, stage, ts,
-                      exact: bool = True, rate: float | None = None):
+                      exact: bool = True, rate: float | None = None,
+                      rng: str = "xxhash"):
     """`R/4_abbreviations.R:33-35` — delegates to ch1_to_ch2('-', ' ')."""
     return ch1_to_ch2(df, lineage, n_errors, col_names, seed=seed, stage=stage,
-                      ts=ts, ch1="-", ch2=" ", all=True, exact=exact, rate=rate)
+                      ts=ts, ch1="-", ch2=" ", all=True, exact=exact, rate=rate,
+                      rng=rng)
 
 
 @register("make_missing")
 def make_missing(df: DataFrame, lineage: DataFrame, n_errors: int,
                  col_names: list[str], *, seed: int, stage: str, ts: int,
-                 exact: bool = True, rate: float | None = None):
+                 exact: bool = True, rate: float | None = None,
+                 rng: str = "xxhash"):
     """Null out the field on rows not already errored on that field.
 
     The reference reads its own lineage to exclude prior-errored ids
@@ -102,7 +108,7 @@ def make_missing(df: DataFrame, lineage: DataFrame, n_errors: int,
     accumulated lineage table; records ``after=""``  (`:120-127`).
     """
     from rlerrorgenerator_spark.operators.base import LINEAGE_ARRAY_COL
-    from rlerrorgenerator_spark.rng import bernoulli_col
+    from rlerrorgenerator_spark.rng import seeded_bernoulli
 
     per_col = split_across_cols(n_errors, len(col_names))
     lineages = []
@@ -116,7 +122,7 @@ def make_missing(df: DataFrame, lineage: DataFrame, n_errors: int,
             eligible = (
                 F.col(col).isNotNull()
                 & ~F.exists(LINEAGE_ARRAY_COL, lambda e: e["field"] == col)
-                & bernoulli_col(KEY, seed, st, rate)
+                & seeded_bernoulli(KEY, seed, st, rate, rng)
             )
             df, ln = apply_cell_edit(
                 df, col, eligible, F.lit(None).cast(col_type), "make_missing",
@@ -127,7 +133,7 @@ def make_missing(df: DataFrame, lineage: DataFrame, n_errors: int,
                            .select(F.col("rid").alias(KEY)).distinct()
             cand = df.join(prior, KEY, "left_anti")
             eligible = F.col(col).isNotNull()
-            sel = choose_ids(cand, eligible, per_col, seed, st, exact, rate)
+            sel = choose_ids(cand, eligible, per_col, seed, st, exact, rate, rng=rng)
             # reference logs after="" rather than NA (`R/4_abbreviations.R:123`)
             df, ln = apply_cell_edit(
                 df, col, sel, F.lit(None).cast(col_type), "make_missing",
@@ -140,7 +146,8 @@ def make_missing(df: DataFrame, lineage: DataFrame, n_errors: int,
 @register("swap_fields")
 def swap_fields(df: DataFrame, lineage: DataFrame, n_errors: int,
                 col_names: list[str], *, seed: int, stage: str, ts: int,
-                exact: bool = True, rate: float | None = None):
+                exact: bool = True, rate: float | None = None,
+                rng: str = "xxhash"):
     """Swap values of column pairs on sampled rows (`R/5_swaps.R:1-31`).
 
     ``col_names`` is even-length: (c1,c2)[, (c3,c4) ...]; each pair gets
@@ -155,7 +162,7 @@ def swap_fields(df: DataFrame, lineage: DataFrame, n_errors: int,
             F.col(c1).isNotNull() & F.col(c2).isNotNull()
             & (F.col(c1).cast("string") != F.col(c2).cast("string"))
         )
-        sel = select_rows(df, eligible, per_pair, seed, st, exact, rate)
+        sel = select_rows(df, eligible, per_pair, seed, st, exact, rate, rng=rng)
         if isinstance(sel, Column):
             from rlerrorgenerator_spark.operators.base import (
                 LINEAGE_ARRAY_COL,

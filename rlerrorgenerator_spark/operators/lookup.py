@@ -22,14 +22,18 @@ from rlerrorgenerator_spark.operators.base import (
     select_rows,
     split_across_cols,
 )
+from rlerrorgenerator_spark.rng import MD5_RNG, draw_token, md5_mod, md5_u64
 
 
-def _pick_one_alternate(lookup: DataFrame, seed: int, stage: str) -> DataFrame:
+def _pick_one_alternate(lookup: DataFrame, seed: int, stage: str,
+                        rng: str = "xxhash") -> DataFrame:
     """One deterministic alternate per lookup_name
     (`R/3_nicknames_errors.R:18-20` sample_n(1) per group)."""
-    w = Window.partitionBy("lookup_name").orderBy(
-        F.xxhash64(F.lit(f"{seed}|{stage}"), F.col("lookup_alternate"))
-    )
+    if rng == MD5_RNG:
+        order = md5_u64(draw_token(seed, stage, "alt"), F.col("lookup_alternate"))
+    else:
+        order = F.xxhash64(F.lit(f"{seed}|{stage}"), F.col("lookup_alternate"))
+    w = Window.partitionBy("lookup_name").orderBy(order)
     return (
         lookup.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -38,17 +42,17 @@ def _pick_one_alternate(lookup: DataFrame, seed: int, stage: str) -> DataFrame:
 
 
 def _lookup_substitute(df, n_errors, col_names, lookup, *, seed, stage, ts,
-                       error_name, exact=True, rate=None):
+                       error_name, exact=True, rate=None, rng="xxhash"):
     per_col = split_across_cols(n_errors, len(col_names))
     lineages = []
     for col in col_names:
         st = f"{stage}|{error_name}|{col}"
-        pick = _pick_one_alternate(lookup, seed, st)
+        pick = _pick_one_alternate(lookup, seed, st, rng)
         tmp = df.join(
             F.broadcast(pick), df[col] == pick["lookup_name"], "left"
         ).drop("lookup_name").withColumnRenamed("lookup_alternate", "__alt")
         eligible = F.col("__alt").isNotNull() & (F.col("__alt") != F.col(col))
-        sel = select_rows(tmp, eligible, per_col, seed, st, exact, rate)
+        sel = select_rows(tmp, eligible, per_col, seed, st, exact, rate, rng=rng)
         tmp, ln = apply_cell_edit(tmp, col, sel, F.col("__alt"), error_name, ts)
         df = tmp.drop("__alt")
         lineages.append(ln)
@@ -58,26 +62,29 @@ def _lookup_substitute(df, n_errors, col_names, lookup, *, seed, stage, ts,
 @register("real_to_nicknames")
 def real_to_nicknames(df: DataFrame, lineage: DataFrame, n_errors: int,
                       col_names: list[str], *, seed: int, stage: str, ts: int,
-                      lookup: DataFrame, exact: bool = True, rate: float | None = None):
+                      lookup: DataFrame, exact: bool = True, rate: float | None = None,
+                      rng: str = "xxhash"):
     """Proper name → nickname (`R/3_nicknames_errors.R:1-52`);
     ``lookup`` has (lookup_name, lookup_alternate, lookup_type)."""
     lk = lookup.where(F.col("lookup_type") == "to_nick")
     return _lookup_substitute(df, n_errors, col_names, lk, seed=seed, stage=stage,
-                              ts=ts, error_name="real_to_nicknames", exact=exact, rate=rate)
+                              ts=ts, error_name="real_to_nicknames", exact=exact,
+                              rate=rate, rng=rng)
 
 
 @register("nick_to_realnames")
 def nick_to_realnames(df, lineage, n_errors, col_names, *, seed, stage, ts,
-                      lookup, exact=True, rate=None):
+                      lookup, exact=True, rate=None, rng="xxhash"):
     """Nickname → proper name (`R/3_nicknames_errors.R:55-106`)."""
     lk = lookup.where(F.col("lookup_type") == "to_proper")
     return _lookup_substitute(df, n_errors, col_names, lk, seed=seed, stage=stage,
-                              ts=ts, error_name="nick_to_realnames", exact=exact, rate=rate)
+                              ts=ts, error_name="nick_to_realnames", exact=exact,
+                              rate=rate, rng=rng)
 
 
 @register("invert_real_and_nicknames")
 def invert_real_and_nicknames(df, lineage, n_errors, col_names, *, seed, stage,
-                              ts, lookup, exact=True, rate=None):
+                              ts, lookup, exact=True, rate=None, rng="xxhash"):
     """Symmetric substitution against a (key, lookup) table
     (`R/3_nicknames_errors.R:109-159`); works either direction."""
     sym = lookup.select(
@@ -89,7 +96,7 @@ def invert_real_and_nicknames(df, lineage, n_errors, col_names, *, seed, stage,
     )
     return _lookup_substitute(df, n_errors, col_names, sym, seed=seed, stage=stage,
                               ts=ts, error_name="invert_real_and_nicknames",
-                              exact=exact, rate=rate)
+                              exact=exact, rate=rate, rng=rng)
 
 
 DEFAULT_SUFFIXES = ["jr", "iii", "ii", "sr", "iv", "i", "v"]
@@ -102,7 +109,8 @@ def add_name_suffix(df: DataFrame, lineage: DataFrame, n_errors: int,
                     sex: str | None = None, sex_value: str = "m",
                     suffix_list: list[str] | None = None,
                     suffix_weights: list[float] | None = None,
-                    exact: bool = True, rate: float | None = None):
+                    exact: bool = True, rate: float | None = None,
+                    rng: str = "xxhash"):
     """Append a weighted-random suffix to the (last-)name column
     (`R/3_nicknames_errors.R:221-257`; male rows only when ``sex`` given).
 
@@ -125,12 +133,25 @@ def add_name_suffix(df: DataFrame, lineage: DataFrame, n_errors: int,
         eligible = F.col(col).isNotNull()
         if sex is not None:
             eligible = eligible & (F.col(sex) == sex_value)
-        sel = select_rows(df, eligible, per_col, seed, st, exact, rate)
-        u = (F.pmod(F.xxhash64(F.lit(st), F.col(KEY)), F.lit(10**9)).cast("double")
-             / F.lit(1e9))
-        pick = F.lit(suffixes[-1])
-        for sfx, bound in reversed(list(zip(suffixes[:-1], cum[:-1]))):
-            pick = F.when(u < bound, F.lit(sfx)).otherwise(pick)
+        sel = select_rows(df, eligible, per_col, seed, st, exact, rate, rng=rng)
+        if rng == MD5_RNG:
+            # exact-integer weighted pick over cumulative int weights —
+            # reproducible in DuckDB with the same modulus (oracle_er)
+            int_total = int(sum(weights))
+            v = md5_mod(draw_token(seed, st, "suffix"), KEY, int_total)
+            bounds, accw = [], 0
+            for wgt in weights[:-1]:
+                accw += int(wgt)
+                bounds.append(accw)
+            pick = F.lit(suffixes[-1])
+            for sfx, bound in reversed(list(zip(suffixes[:-1], bounds))):
+                pick = F.when(v < bound, F.lit(sfx)).otherwise(pick)
+        else:
+            u = (F.pmod(F.xxhash64(F.lit(st), F.col(KEY)), F.lit(10**9)).cast("double")
+                 / F.lit(1e9))
+            pick = F.lit(suffixes[-1])
+            for sfx, bound in reversed(list(zip(suffixes[:-1], cum[:-1]))):
+                pick = F.when(u < bound, F.lit(sfx)).otherwise(pick)
         new = F.concat_ws(" ", F.col(col), pick)
         df, ln = apply_cell_edit(df, col, sel, new, "add_name_suffix", ts)
         lineages.append(ln)
@@ -142,7 +163,8 @@ def married_name_change(df: DataFrame, lineage: DataFrame, n_errors: int,
                         col_names: list[str], *, seed: int, stage: str, ts: int,
                         surnames: DataFrame, sex: str | None = None,
                         sex_value: str = "f", age: str | None = None,
-                        exact: bool = True, rate: float | None = None):
+                        exact: bool = True, rate: float | None = None,
+                        rng: str = "xxhash"):
     """Replace (last-)name with a uniform draw from a surname dim
     (`R/6_file_based_errors.R:1-37`: female rows, age>20 when given).
 
@@ -164,10 +186,12 @@ def married_name_change(df: DataFrame, lineage: DataFrame, n_errors: int,
             eligible = eligible & (F.col(sex) == sex_value)
         if age is not None:
             eligible = eligible & (F.col(age) > 20)
-        sel = select_rows(df, eligible, per_col, seed, st, exact, rate)
-        tmp = df.withColumn(
-            "__sidx", F.pmod(F.xxhash64(F.lit(st), F.col(KEY)), F.lit(n_names)).cast("int")
-        ).join(F.broadcast(idx), "__sidx", "left").drop("__sidx")
+        sel = select_rows(df, eligible, per_col, seed, st, exact, rate, rng=rng)
+        sidx = (md5_mod(draw_token(seed, st, "sidx"), KEY, n_names)
+                if rng == MD5_RNG
+                else F.pmod(F.xxhash64(F.lit(st), F.col(KEY)), F.lit(n_names)).cast("int"))
+        tmp = df.withColumn("__sidx", sidx) \
+                .join(F.broadcast(idx), "__sidx", "left").drop("__sidx")
         tmp, ln = apply_cell_edit(tmp, col, sel, F.col("__sname"),
                                   "married_name_change", ts)
         df = tmp.drop("__sname")

@@ -11,14 +11,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rlerrorgenerator_spark.operators.base import KEY, choose_ids, register
-from rlerrorgenerator_spark.rng import rank_col
+from rlerrorgenerator_spark.rng import (
+    MD5_RNG,
+    draw_token,
+    md5_mod,
+    md5_u64,
+    rank_col,
+    seeded_bernoulli,
+)
 
 
 @register("add_duplicates")
 def add_duplicates(df: DataFrame, lineage: DataFrame, n_errors: int,
                    col_names: list[str] | None = None, *, seed: int, stage: str,
                    ts: int, clean: DataFrame, exact: bool = True,
-                   rate: float | None = None):
+                   rate: float | None = None, rng: str = "xxhash"):
     """Append the *clean* originals of n already-errored rows.
 
     Reference semantics (`R/6_file_based_errors.R:39-74`): sample from ids
@@ -41,8 +48,7 @@ def add_duplicates(df: DataFrame, lineage: DataFrame, n_errors: int,
     if exact:
         sel = errored.orderBy(rank_col(KEY, seed, st)).limit(int(n_errors))
     else:
-        from rlerrorgenerator_spark.rng import bernoulli_col
-        sel = errored.where(bernoulli_col(KEY, seed, st, rate))
+        sel = errored.where(seeded_bernoulli(KEY, seed, st, rate, rng))
     dups = (
         clean.join(sel.withColumnRenamed(KEY, anchor), anchor, "left_semi")
         .withColumn(KEY, F.concat(F.col(anchor), F.lit("#dup1")))
@@ -63,7 +69,7 @@ def add_duplicates(df: DataFrame, lineage: DataFrame, n_errors: int,
 def add_near_duplicates(df: DataFrame, lineage: DataFrame, n_errors: int,
                         col_names: list[str] | None = None, *, seed: int,
                         stage: str, ts: int, exact: bool = True,
-                        rate: float | None = None):
+                        rate: float | None = None, rng: str = "xxhash"):
     """Pages-domain analogue of ``twins_generate``
     (`R/6_file_based_errors.R:129-191`): append a *near*-duplicate of
     sampled rows — same entity content, shifted url + crawl time — the way
@@ -73,9 +79,12 @@ def add_near_duplicates(df: DataFrame, lineage: DataFrame, n_errors: int,
     ``orig_url`` keeps the cluster anchor.
     """
     st = f"{stage}|near_dup"
-    sel = choose_ids(df, F.lit(True), n_errors, seed, st, exact, rate)
+    sel = choose_ids(df, F.lit(True), n_errors, seed, st, exact, rate, rng=rng)
     base = df.join(sel.select(KEY), KEY, "left_semi")
-    shift = (F.pmod(F.xxhash64(F.lit(st), F.col(KEY)), F.lit(3600)) + 1).cast("long")
+    if rng == MD5_RNG:
+        shift = (md5_mod(draw_token(seed, st, "shift"), KEY, 3600) + 1).cast("long")
+    else:
+        shift = (F.pmod(F.xxhash64(F.lit(st), F.col(KEY)), F.lit(3600)) + 1).cast("long")
     twins = (
         base.withColumn("url", F.concat(F.col("url"), F.lit("~2")))
         .withColumn("warc_ts", F.timestamp_seconds(F.unix_timestamp("warc_ts") + shift))
@@ -96,7 +105,8 @@ def add_near_duplicates(df: DataFrame, lineage: DataFrame, n_errors: int,
 @register("make_twins")
 def make_twins(df: DataFrame, lineage: DataFrame, n_errors: int,
                col_names: list[str] | None = None, *, seed: int, stage: str,
-               ts: int, exact: bool = True, rate: float | None = None):
+               ts: int, exact: bool = True, rate: float | None = None,
+               rng: str = "xxhash"):
     """Benchmark twin variant (`/root/reference/benchmarking/utils.R:663-697`):
     among rows with a precomputed ``twin_id``/``bday_twin`` (see
     ``sources.persons.get_bdays``), sample twin groups and overwrite
@@ -114,8 +124,7 @@ def make_twins(df: DataFrame, lineage: DataFrame, n_errors: int,
     if exact:
         sel_groups = groups.orderBy(rank_col("twin_id", seed, st)).limit(int(n_errors))
     else:
-        from rlerrorgenerator_spark.rng import bernoulli_col
-        sel_groups = groups.where(bernoulli_col("twin_id", seed, st, rate))
+        sel_groups = groups.where(seeded_bernoulli("twin_id", seed, st, rate, rng))
     chosen = df.where(eligible).join(F.broadcast(sel_groups), "twin_id", "left_semi") \
                .select(KEY)
     from rlerrorgenerator_spark.operators.base import apply_cell_edit
@@ -127,7 +136,7 @@ def twins_generate(df: DataFrame, lineage: DataFrame, n_errors: int,
                    col_names: list[str], *, seed: int, stage: str, ts: int,
                    names: DataFrame, id_col: str | None = None,
                    sex: str | None = None, exact: bool = True,
-                   rate: float | None = None):
+                   rate: float | None = None, rng: str = "xxhash"):
     """Person-fixture twins (`R/6_file_based_errors.R:129-191`): for sampled
     rows append a twin whose first name has the same length + first letter
     (drawn from a name dim), with a derived id.
@@ -140,7 +149,7 @@ def twins_generate(df: DataFrame, lineage: DataFrame, n_errors: int,
     fname = col_names[0]
     st = f"{stage}|twins"
     sel = choose_ids(df, F.col(fname).isNotNull() & (F.length(fname) > 0),
-                     n_errors, seed, st, exact, rate)
+                     n_errors, seed, st, exact, rate, rng=rng)
     base = df.join(sel.select(KEY), KEY, "left_semi")
 
     nm = names.select(F.col(names.columns[0]).alias("__nm")).where(
@@ -151,7 +160,9 @@ def twins_generate(df: DataFrame, lineage: DataFrame, n_errors: int,
         F.length("__nm").alias("__len"),
         F.substring("__nm", 1, 1).alias("__fl"),
     )
-    w = Window.partitionBy("__len", "__fl").orderBy(F.xxhash64(F.lit(st), F.col("__nm")))
+    nm_order = (md5_u64(draw_token(seed, st, "nm"), F.col("__nm"))
+                if rng == MD5_RNG else F.xxhash64(F.lit(st), F.col("__nm")))
+    w = Window.partitionBy("__len", "__fl").orderBy(nm_order)
     pick = buck.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1) \
                .select("__len", "__fl", "__nm")
     twins = (

@@ -111,3 +111,83 @@ def bernoulli_col(key_col: str | Column, seed: int, stage: str, rate: float) -> 
     u = (F.pmod(F.xxhash64(F.lit(f"{seed}|{stage}"), c), F.lit(1_000_000_000)).cast("double")
          / F.lit(1_000_000_000.0))
     return u < F.lit(float(rate))
+
+
+# --------------------------------------------------------------- md5 mode
+#
+# Cross-engine seeded randomness: every draw is the low 64 bits of
+# ``md5(token || key)``, computable bit-identically in Spark
+# (``conv(substring(md5(..),17,16),16,10)``), DuckDB
+# (``('0x'||substring(md5(..),17,16))::UBIGINT``) and Python
+# (``hashlib.md5``). The same trick that made ``dup_minhash``
+# oracle-checkable (plans/dedup.py::_md5_u64) applied to the §2.A error
+# transforms: a transform run with ``rng='md5'`` is a deterministic
+# function a DuckDB oracle can reproduce END TO END — selection, draw
+# positions, replacement chars (see rlerrorgenerator_spark/oracle_er.py).
+#
+# The default ``rng='xxhash'`` path (above) is untouched: xxhash64 stays
+# the 100 TB hot path (one JVM hash vs md5's full digest), md5 mode is
+# the correctness-harness path.
+
+XXHASH_RNG = "xxhash"
+MD5_RNG = "md5"
+
+_U64_DECIMAL = "decimal(20,0)"
+
+
+def draw_token(seed: int, stage: str, purpose: str) -> str:
+    """The shared Spark/DuckDB/Python token prefix for one draw stream."""
+    return f"{seed}|{stage}|{purpose}|"
+
+
+def _as_col(key_col: str | Column) -> Column:
+    return F.col(key_col) if isinstance(key_col, str) else key_col
+
+
+def md5_u64_str(token: str, key_col: str | Column) -> Column:
+    """u64 draw as its exact DECIMAL STRING (Arrow-safe UDF transport)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(token), _as_col(key_col).cast("string"))),
+                    17, 16),
+        16, 10,
+    )
+
+
+def md5_u64(token: str, key_col: str | Column) -> Column:
+    """u64 draw as decimal(20,0) — exact integer arithmetic JVM-side."""
+    return md5_u64_str(token, key_col).cast(_U64_DECIMAL)
+
+
+def md5_mod(token: str, key_col: str | Column, mod: int) -> Column:
+    """``u64 % mod`` as int — uniform over [0, mod)."""
+    return F.pmod(md5_u64(token, key_col), F.lit(mod)).cast("int")
+
+
+def bern_threshold(rate: float) -> int:
+    """Exact integer threshold for ``u64 < rate * 2^64`` — computed ONCE
+    in Python and embedded as a literal on both engines, so the boundary
+    is bit-identical (no float rounding divergence)."""
+    return min(int(rate * 2.0**64), 2**64 - 1)
+
+
+def md5_bernoulli(token: str, key_col: str | Column, rate: float) -> Column:
+    return md5_u64(token, key_col) < F.lit(str(bern_threshold(rate))).cast(_U64_DECIMAL)
+
+
+def seeded_bernoulli(key_col: str | Column, seed: int, stage: str, rate: float,
+                     rng: str = XXHASH_RNG) -> Column:
+    """Dispatch: xxhash64 Bernoulli (hot path) or md5 Bernoulli (oracle
+    path). Token conventions differ by design — the xxhash path keeps its
+    original token so existing outputs are byte-stable."""
+    if rng == MD5_RNG:
+        return md5_bernoulli(draw_token(seed, stage, "sel"), key_col, rate)
+    return bernoulli_col(key_col, seed, stage, rate)
+
+
+def seeded_mod(key_col: str | Column, seed: int, stage: str, purpose: str,
+               mod: int, rng: str = XXHASH_RNG) -> Column:
+    """Dispatch for small uniform integer draws inside transforms."""
+    if rng == MD5_RNG:
+        return md5_mod(draw_token(seed, stage, purpose), key_col, mod)
+    tok = f"{stage}|{purpose}" if purpose else stage
+    return F.pmod(F.xxhash64(F.lit(tok), _as_col(key_col)), F.lit(mod)).cast("int")

@@ -122,12 +122,16 @@ def surname_dim(spark: SparkSession) -> DataFrame:
 
 
 def get_bdays(persons: DataFrame, seed: int = 42,
-              as_of_year: int = 2024) -> DataFrame:
+              as_of_year: int = 2024, rng: str = "xxhash") -> DataFrame:
     """Synthesize dob from age + mark twin candidates
     (`/root/reference/benchmarking/utils.R:1215-1277`): rows sharing
     (lname, birth_age) form a twin group; all members share ``bday_twin``
     (the group min dob) and a ``twin_id``."""
-    doy = F.pmod(F.xxhash64(F.lit(f"bday|{seed}"), F.col("rid")), F.lit(365)).cast("int")
+    if rng == "md5":
+        from rlerrorgenerator_spark.rng import draw_token, md5_mod
+        doy = md5_mod(draw_token(seed, "bday", "doy"), "rid", 365)
+    else:
+        doy = F.pmod(F.xxhash64(F.lit(f"bday|{seed}"), F.col("rid")), F.lit(365)).cast("int")
     year = F.lit(as_of_year) - F.col("birth_age")
     with_dob = persons.withColumn(
         "dob", F.date_add(F.make_date(year, F.lit(1), F.lit(1)), doy)
