@@ -399,18 +399,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _audit_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One named driver query per §2.A error transform (SURVEY.md §2.A
-    1-26): fixed-seed program, per-operator lineage-invariant audit rows
-    (see rlerrorgenerator_spark/audit.py). Seeded-RNG programs → rows-only
-    driver check, but each operator now has its OWN named correctness row
-    whose ``violations`` column must be 0."""
-    from rlerrorgenerator_spark.audit import audit_query_names, run_audit
+    1-26), now ORACLE-CHECKED: each ``er_op_<name>`` runs the real
+    transform in rng='md5' mode and a DuckDB oracle reproduces the full
+    derivation — selection, draws, edits — row for row (see
+    rlerrorgenerator_spark/oracle_er.py). Two seeded-RNG programs stay
+    rows-only by contract: the iterative calibration loop and the
+    full-program lineage audit (er_audit_violations aggregates every
+    per-operator invariant check from rlerrorgenerator_spark/audit.py —
+    its ``violations`` column must be all-zero)."""
+    from rlerrorgenerator_spark.audit import run_audit
+    from rlerrorgenerator_spark.oracle_er import er_oracle_queries
 
-    def make(name: str):
-        def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-            return run_audit(spark, name)
-        return q
+    out = dict(er_oracle_queries())
 
-    return {f"er_op_{n}": make(n) for n in audit_query_names()}
+    def calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return run_audit(spark, "calibration")
+
+    def audit_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rlerrorgenerator_spark.audit import audit_query_names
+
+        parts = []
+        for n in audit_query_names():
+            if n == "calibration":
+                continue
+            parts.append(
+                run_audit(spark, n).agg(
+                    F.lit(n).alias("op"),
+                    F.coalesce(F.sum("violations"), F.lit(0)).alias("violations"),
+                )
+            )
+        acc = parts[0]
+        for pp in parts[1:]:
+            acc = acc.unionByName(pp)
+        return acc.orderBy("op")
+
+    out["er_op_calibration"] = calibration
+    out["er_audit_violations"] = audit_violations
+    return out
 
 
 _GRAMS_SQL = f"""
@@ -775,9 +800,18 @@ def oracle_sql() -> dict[str, str]:
                      AS recall_target_met
             FROM ex1 LEFT JOIN lsh1 USING (query_id)
         """,
-        # er_* entries intentionally omitted: seeded-RNG pipeline programs,
-        # rows-only check per the driver contract. ann_ivf_topk is also
-        # rows-only: its sampled-k-means centroids are iterative float
-        # accumulations that no independent engine can reproduce bit-
-        # identically — the query row itself carries the recall evidence.
+        # er_op_* oracles: each §2.A transform re-derived end-to-end in
+        # DuckDB (md5 draw streams; rlerrorgenerator_spark/oracle_er.py).
+        # Remaining rows-only entries per the driver contract: the
+        # er_pipeline family + er_op_calibration + er_audit_violations
+        # (iterative seeded-RNG programs), and ann_ivf_topk (iterative
+        # float k-means no independent engine reproduces bit-identically —
+        # the query row itself carries the recall evidence).
+        **_er_oracle_sql_entries(),
     }
+
+
+def _er_oracle_sql_entries() -> dict[str, str]:
+    from rlerrorgenerator_spark.oracle_er import er_oracle_sql
+
+    return er_oracle_sql()

@@ -1,0 +1,1067 @@
+"""Cross-engine oracles for the §2.A error-injection transforms.
+
+Round-2 left the ``er_op_*`` driver queries rows-only ("seeded-RNG
+programs are not SQL-expressible"). This module removes that excuse: each
+operator runs here in ``rng='md5'`` mode (rng.py md5 layer — every draw
+is the low 64 bits of ``md5(token || key)``), which a DuckDB oracle
+reproduces bit-identically — selection, draw positions, replacement
+chars, lookup picks. The driver's CORRECTNESS check then verifies the
+REAL transform implementations (the same pandas-UDF editors and Catalyst
+expressions the pipeline runs, only the draw provenance differs) row for
+row against an independent SQL re-derivation.
+
+Layout: one ``_OpOracle(spark_fn, sql)`` per operator, both generated
+from the SAME Python constants (seeds, rates, charsets, lookup dims,
+token strings) so the two sides cannot silently drift; a pytest
+(tests/test_oracle_er.py) additionally asserts frame equality at
+sf0.001 for every op.
+
+Inputs are derived deterministically from the driver's parquet tables
+(``documents`` for text/pages ops, ``customer`` for person ops) with the
+same md5 draws, so the DuckDB side needs nothing but its pre-registered
+views.
+
+Reference semantics per operator are cited in the operator modules
+(rlerrorgenerator_spark/operators/*; SURVEY.md §2.A).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rlerrorgenerator_spark.operators.base import KEY, empty_lineage
+from rlerrorgenerator_spark.operators.charsets import (
+    CONFUSION_MAPS,
+    LETTERS,
+)
+from rlerrorgenerator_spark.rng import MD5_RNG, bern_threshold, draw_token, md5_mod
+from rlerrorgenerator_spark.sources.persons import (
+    FNAMES_FEMALE,
+    FNAMES_MALE,
+    LNAMES,
+    NICKNAMES,
+)
+
+SEED = 311
+STAGE = "a1"
+RATE = 0.35          # docs-table cell ops
+PRATE = 0.3          # persons-table cell ops
+TEXT_LEN = 120       # snippet length for text ops (keeps rows small)
+
+# persons-derivation tokens (fixed, seed-independent by design: the
+# derivation is part of the fixture, not of any operator under test)
+_PT = {k: f"pers|{k}|" for k in ("g", "fn", "ln", "age", "mn", "mn2")}
+
+
+# ------------------------------------------------------------ SQL helpers
+
+def _sql_u64(token: str, key_sql: str) -> str:
+    return f"('0x' || substring(md5('{token}' || {key_sql}), 17, 16))::UBIGINT"
+
+
+def _sql_mod(token: str, key_sql: str, mod: int) -> str:
+    return f"({_sql_u64(token, key_sql)} % {mod}::UBIGINT)::INT"
+
+
+def _sql_bern(token: str, key_sql: str, rate: float) -> str:
+    return f"{_sql_u64(token, key_sql)} < '{bern_threshold(rate)}'::UBIGINT"
+
+
+def _sql_list(items: list[str]) -> str:
+    inner = ", ".join("'" + i.replace("'", "''") + "'" for i in items)
+    return f"[{inner}]"
+
+
+def _sel_tok(st: str) -> str:
+    """Selection token used by rng.seeded_bernoulli(rng='md5')."""
+    return draw_token(SEED, st, "sel")
+
+
+def _d_tok(st: str, i: int) -> str:
+    """Editor draw tokens used by edit._apply_editor(rng='md5')."""
+    return draw_token(SEED, st, f"d{i}")
+
+
+# ------------------------------------------------------------ inputs
+
+def _docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias(KEY),
+        F.substring("text", 1, TEXT_LEN).alias("text"),
+        F.col("lang"),
+    )
+
+
+_DOCS_SQL = f"""
+  input AS (
+    SELECT doc_id::VARCHAR AS rid, substring(text, 1, {TEXT_LEN}) AS text, lang
+    FROM documents
+  )"""
+
+
+def _persons_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Person-shaped fixture derived from ``customer`` with md5 draws —
+    identical to the `pers` CTE in :func:`_PERSONS_SQL`."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rid = F.concat(F.lit("p"), F.col("c_custkey").cast("string"))
+    d = cust.select(rid.alias(KEY))
+    male_pool = F.array(*[F.lit(x) for x in FNAMES_MALE])
+    female_pool = F.array(*[F.lit(x) for x in FNAMES_FEMALE])
+    lname_pool = F.array(*[F.lit(x) for x in LNAMES])
+    is_f = md5_mod(_PT["g"], KEY, 2) == 0
+    ufn = md5_mod(_PT["fn"], KEY, len(FNAMES_MALE))
+    return d.select(
+        F.col(KEY),
+        F.when(is_f, F.element_at(female_pool, ufn + 1))
+         .otherwise(F.element_at(male_pool, ufn + 1)).alias("fname"),
+        F.when(md5_mod(_PT["mn"], KEY, 10) < 3, F.lit(None).cast("string"))
+         .otherwise(F.element_at(male_pool, md5_mod(_PT["mn2"], KEY, len(FNAMES_MALE)) + 1))
+         .alias("mname"),
+        F.element_at(lname_pool, md5_mod(_PT["ln"], KEY, len(LNAMES)) + 1).alias("lname"),
+        (F.lit(18) + md5_mod(_PT["age"], KEY, 77)).alias("birth_age"),
+        F.when(is_f, F.lit("f")).otherwise(F.lit("m")).alias("gender_code"),
+    )
+
+
+_PERSONS_SQL = f"""
+  pers AS (
+    SELECT
+      rid,
+      CASE WHEN {_sql_mod(_PT['g'], 'rid', 2)} = 0
+           THEN list_element({_sql_list(FNAMES_FEMALE)}, {_sql_mod(_PT['fn'], 'rid', len(FNAMES_MALE))} + 1)
+           ELSE list_element({_sql_list(FNAMES_MALE)}, {_sql_mod(_PT['fn'], 'rid', len(FNAMES_MALE))} + 1)
+      END AS fname,
+      CASE WHEN {_sql_mod(_PT['mn'], 'rid', 10)} < 3 THEN NULL
+           ELSE list_element({_sql_list(FNAMES_MALE)}, {_sql_mod(_PT['mn2'], 'rid', len(FNAMES_MALE))} + 1)
+      END AS mname,
+      list_element({_sql_list(LNAMES)}, {_sql_mod(_PT['ln'], 'rid', len(LNAMES))} + 1) AS lname,
+      18 + {_sql_mod(_PT['age'], 'rid', 77)} AS birth_age,
+      CASE WHEN {_sql_mod(_PT['g'], 'rid', 2)} = 0 THEN 'f' ELSE 'm' END AS gender_code
+    FROM (SELECT 'p' || c_custkey::VARCHAR AS rid FROM customer)
+  )"""
+
+# dob used by the date ops (derived off birth_age like get_bdays, but a
+# fixture field here — token fixed)
+_DOB_TOK = "pers|doy|"
+_DOB_SQL = (f"make_date(2024 - birth_age, 1, 1) "
+            f"+ {_sql_mod(_DOB_TOK, 'rid', 365)}")
+
+
+def _with_dob(persons: DataFrame) -> DataFrame:
+    doy = md5_mod(_DOB_TOK, KEY, 365)
+    year = F.lit(2024) - F.col("birth_age")
+    return persons.withColumn(
+        "dob", F.date_add(F.make_date(year, F.lit(1), F.lit(1)), doy)
+    )
+
+
+def _lineage_out(ln: DataFrame) -> DataFrame:
+    return ln.select("rid", "field", "error", "before", "after") \
+             .orderBy("rid", "field", "error")
+
+
+_LN_COLS = "rid, field, error, before, after"
+
+
+# ------------------------------------------------------------ op registry
+
+@dataclass
+class _OpOracle:
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    sql: str
+
+
+ER_ORACLE_OPS: dict[str, _OpOracle] = {}
+
+
+def _op(name: str, sql: str):
+    def deco(fn):
+        ER_ORACLE_OPS[name] = _OpOracle(fn, sql)
+        return fn
+    return deco
+
+
+def _run_cell_op(spark, df, op_name, cols, rate, **kw):
+    from rlerrorgenerator_spark.operators.base import REGISTRY
+
+    dirty, ln = REGISTRY[op_name](
+        df, empty_lineage(spark), 0, cols,
+        seed=SEED, stage=STAGE, ts=1, exact=False, rate=rate,
+        rng=MD5_RNG, **kw,
+    )
+    return dirty, ln
+
+
+# ------------------------------------------------------------ text ops
+
+_ST_INDEL = f"{STAGE}|indel|text"
+_INDEL_SQL = f"""
+WITH {_DOCS_SQL.strip()},
+sel AS (
+  SELECT rid, text FROM input
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND {_sql_bern(_sel_tok(_ST_INDEL), 'rid', RATE)}
+),
+draws AS (
+  SELECT rid, text,
+         {_sql_u64(_d_tok(_ST_INDEL, 0), 'rid')} AS u0,
+         {_sql_u64(_d_tok(_ST_INDEL, 1), 'rid')} AS u1,
+         {_sql_u64(_d_tok(_ST_INDEL, 2), 'rid')} AS u2
+  FROM sel
+)
+SELECT rid, 'text' AS field, 'indel' AS error, text AS before,
+  CASE WHEN (u0 % 2 = 0) OR length(text) <= 1 THEN
+    substring(text, 1, (u1 % (length(text) + 1)::UBIGINT)::INT)
+      || substring('{LETTERS}', (u2 % 26::UBIGINT)::INT + 1, 1)
+      || substring(text, (u1 % (length(text) + 1)::UBIGINT)::INT + 1)
+  ELSE
+    substring(text, 1, (u1 % length(text)::UBIGINT)::INT)
+      || substring(text, (u1 % length(text)::UBIGINT)::INT + 2)
+  END AS after
+FROM draws ORDER BY rid, field, error
+"""
+
+
+@_op("indel", _INDEL_SQL)
+def _q_indel(spark, sf_dir):
+    """indel, md5 mode, over documents (`R/2_edit_distance_errors.R:5-93`)."""
+    _, ln = _run_cell_op(spark, _docs_df(spark, sf_dir), "indel", ["text"], RATE)
+    return _lineage_out(ln)
+
+
+def _indel_persons_field_sql(col: str) -> str:
+    st = f"{STAGE}|indel|{col}"
+    return f"""
+  SELECT rid, '{col}' AS field, 'indel' AS error, {col} AS before,
+    CASE WHEN (u0 % 2 = 0) OR length({col}) <= 1 THEN
+      substring({col}, 1, (u1 % (length({col}) + 1)::UBIGINT)::INT)
+        || substring('{LETTERS}', (u2 % 26::UBIGINT)::INT + 1, 1)
+        || substring({col}, 1 + (u1 % (length({col}) + 1)::UBIGINT)::INT)
+    ELSE
+      substring({col}, 1, (u1 % length({col})::UBIGINT)::INT)
+        || substring({col}, (u1 % length({col})::UBIGINT)::INT + 2)
+    END AS after
+  FROM (
+    SELECT rid, {col},
+           {_sql_u64(_d_tok(st, 0), 'rid')} AS u0,
+           {_sql_u64(_d_tok(st, 1), 'rid')} AS u1,
+           {_sql_u64(_d_tok(st, 2), 'rid')} AS u2
+    FROM pers
+    WHERE {col} IS NOT NULL AND length({col}) > 0
+      AND {_sql_bern(_sel_tok(st), 'rid', PRATE)}
+  )"""
+
+
+_INDEL_PERSONS_SQL = f"""
+WITH {_PERSONS_SQL.strip()}
+SELECT {_LN_COLS} FROM (
+{_indel_persons_field_sql('fname')}
+UNION ALL
+{_indel_persons_field_sql('lname')}
+) ORDER BY rid, field, error
+"""
+
+
+@_op("indel_persons", _INDEL_PERSONS_SQL)
+def _q_indel_persons(spark, sf_dir):
+    """indel over two person name fields (per-column draw streams)."""
+    _, ln = _run_cell_op(spark, _persons_df(spark, sf_dir), "indel",
+                         ["fname", "lname"], PRATE)
+    return _lineage_out(ln)
+
+
+def _repl_plain_sql() -> str:
+    st = f"{STAGE}|repl|fname"
+    n = len(LETTERS)
+    return f"""
+WITH {_PERSONS_SQL.strip()},
+sel AS (
+  SELECT rid, fname,
+         {_sql_u64(_d_tok(st, 0), 'rid')} AS u0,
+         {_sql_u64(_d_tok(st, 1), 'rid')} AS u1,
+         {_sql_u64(_d_tok(st, 2), 'rid')} AS u2
+  FROM pers
+  WHERE fname IS NOT NULL AND length(fname) > 0
+    AND {_sql_bern(_sel_tok(st), 'rid', PRATE)}
+),
+picked AS (
+  -- pos/idx are the scalar editor's draws (_repl_one, letters charset:
+  -- all-distinct so the duplicate-chars fallback never triggers)
+  SELECT rid, fname,
+         (u0 % length(fname)::UBIGINT)::INT + 1 AS pos1,
+         (u1 % {n}::UBIGINT)::INT AS idx0,
+         (u2 % {n - 1}::UBIGINT)::INT AS step
+  FROM sel
+),
+repl AS (
+  SELECT rid, fname, pos1,
+    CASE WHEN substring('{LETTERS}', idx0 + 1, 1) = substring(fname, pos1, 1)
+         THEN ((idx0 + 1 + step) % {n})
+         ELSE idx0 END AS idx
+  FROM picked
+)
+SELECT rid, 'fname' AS field, 'repl' AS error, fname AS before,
+  substring(fname, 1, pos1 - 1) || substring('{LETTERS}', idx + 1, 1)
+    || substring(fname, pos1 + 1) AS after
+FROM repl ORDER BY rid, field, error
+"""
+
+
+@_op("repl", _repl_plain_sql())
+def _q_repl(spark, sf_dir):
+    """Plain charset repl (`R/2_edit:99-180`) on the persons fixture."""
+    _, ln = _run_cell_op(spark, _persons_df(spark, sf_dir), "repl",
+                         ["fname"], PRATE, charset="letters")
+    return _lineage_out(ln)
+
+
+def _confusion_sql(kind: str) -> str:
+    """repl with a keyboard/OCR confusion map over documents."""
+    cmap = CONFUSION_MAPS[kind]
+    st = f"{STAGE}|repl|text"
+    keys = sorted(cmap)
+    keys_in = ", ".join(f"'{k}'" for k in keys)
+    pat = "[" + "".join(keys) + "]"
+    cand_case = "CASE substring(text, pos1, 1) " + " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(cmap.items())
+    ) + " END"
+    return f"""
+WITH {_DOCS_SQL.strip()},
+sel AS (
+  SELECT rid, text,
+         {_sql_u64(_d_tok(st, 0), 'rid')} AS u0,
+         {_sql_u64(_d_tok(st, 1), 'rid')} AS u1
+  FROM input
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND regexp_matches(text, '{pat}')
+    AND {_sql_bern(_sel_tok(st), 'rid', RATE)}
+),
+pos AS (
+  SELECT rid, text, u0, u1,
+    list_filter(generate_series(1, length(text)),
+                p -> substring(text, p::INT, 1) IN ({keys_in})) AS positions
+  FROM sel
+),
+picked AS (
+  SELECT rid, text, u1,
+    list_element(positions, (u0 % len(positions)::UBIGINT)::INT + 1)::INT AS pos1
+  FROM pos WHERE len(positions) > 0
+),
+cands AS (
+  SELECT rid, text, pos1, u1, {cand_case} AS cand FROM picked
+)
+SELECT rid, 'text' AS field, 'repl_{kind}' AS error, text AS before,
+  substring(text, 1, pos1 - 1)
+    || substring(cand, (u1 % length(cand)::UBIGINT)::INT + 1, 1)
+    || substring(text, pos1 + 1) AS after
+FROM cands ORDER BY rid, field, error
+"""
+
+
+@_op("repl_keyboard", _confusion_sql("keyboard"))
+def _q_repl_keyboard(spark, sf_dir):
+    """Keyboard-adjacency typo repl (north-star charset extension)."""
+    _, ln = _run_cell_op(spark, _docs_df(spark, sf_dir), "repl", ["text"],
+                         RATE, charset="keyboard")
+    return _lineage_out(ln)
+
+
+@_op("repl_ocr", _confusion_sql("ocr"))
+def _q_repl_ocr(spark, sf_dir):
+    """OCR-confusion repl (north-star charset extension)."""
+    _, ln = _run_cell_op(spark, _docs_df(spark, sf_dir), "repl", ["text"],
+                         RATE, charset="ocr")
+    return _lineage_out(ln)
+
+
+_ST_TPOSE = f"{STAGE}|tpose|text"
+_TPOSE_SQL = f"""
+WITH {_DOCS_SQL.strip()},
+sel AS (
+  SELECT rid, text, {_sql_u64(_d_tok(_ST_TPOSE, 0), 'rid')} AS u0
+  FROM input
+  WHERE text IS NOT NULL AND length(text) > 1
+    AND text <> repeat(substring(text, 1, 1), length(text)::INT)
+    AND {_sql_bern(_sel_tok(_ST_TPOSE), 'rid', RATE)}
+),
+pos AS (
+  SELECT rid, text, u0,
+    list_filter(generate_series(1, length(text) - 1),
+                p -> substring(text, p::INT, 1) <> substring(text, p::INT + 1, 1)) AS positions
+  FROM sel
+),
+picked AS (
+  SELECT rid, text,
+    list_element(positions, (u0 % len(positions)::UBIGINT)::INT + 1)::INT AS pos1
+  FROM pos WHERE len(positions) > 0
+)
+SELECT rid, 'text' AS field, 'tpose' AS error, text AS before,
+  substring(text, 1, pos1 - 1) || substring(text, pos1 + 1, 1)
+    || substring(text, pos1, 1) || substring(text, pos1 + 2) AS after
+FROM picked ORDER BY rid, field, error
+"""
+
+
+@_op("tpose", _TPOSE_SQL)
+def _q_tpose(spark, sf_dir):
+    """Adjacent transposition (`R/2_edit:182-276`)."""
+    _, ln = _run_cell_op(spark, _docs_df(spark, sf_dir), "tpose", ["text"], RATE)
+    return _lineage_out(ln)
+
+
+def _ch1ch2_sql(op_name: str, error: str, ch1: str, ch2: str,
+                input_sql: str, col: str, pre: str | None = None) -> str:
+    st = f"{STAGE}|ch1ch2|{col}"
+    src = pre or col
+    return f"""
+WITH {input_sql.strip()},
+prepped AS (SELECT rid, {src} AS v FROM input)
+SELECT rid, '{col}' AS field, 'ch1_to_ch2' AS error, v AS before,
+       replace(v, '{ch1}', '{ch2}') AS after
+FROM prepped
+WHERE v IS NOT NULL
+  AND regexp_matches(v, '[a-z0-9A-Z]{ch1}[a-z0-9A-Z]')
+  AND {_sql_bern(_sel_tok(st), 'rid', RATE)}
+ORDER BY rid, field, error
+"""
+
+
+@_op("ch1_to_ch2", _ch1ch2_sql("ch1_to_ch2", "ch1_to_ch2", "a", "e",
+                               _DOCS_SQL, "text"))
+def _q_ch1_to_ch2(spark, sf_dir):
+    """Literal char substitution a→e, all occurrences
+    (`R/4_abbreviations.R:40-97`)."""
+    _, ln = _run_cell_op(spark, _docs_df(spark, sf_dir), "ch1_to_ch2",
+                         ["text"], RATE, ch1="a", ch2="e")
+    return _lineage_out(ln)
+
+
+@_op("blanks_to_hyphens", _ch1ch2_sql("blanks_to_hyphens", "ch1_to_ch2",
+                                      " ", "-", _DOCS_SQL, "text"))
+def _q_blanks_to_hyphens(spark, sf_dir):
+    """`R/4_abbreviations.R:29-31`."""
+    _, ln = _run_cell_op(spark, _docs_df(spark, sf_dir), "blanks_to_hyphens",
+                         ["text"], RATE)
+    return _lineage_out(ln)
+
+
+# hyphens_to_blanks needs hyphens in the input: derive the snippet with
+# blanks pre-folded to hyphens (identically on both sides)
+_HYPH_DOCS_SQL = f"""
+  input AS (
+    SELECT doc_id::VARCHAR AS rid,
+           replace(substring(text, 1, {TEXT_LEN}), ' ', '-') AS text, lang
+    FROM documents
+  )"""
+
+
+@_op("hyphens_to_blanks", _ch1ch2_sql("hyphens_to_blanks", "ch1_to_ch2",
+                                      "-", " ", _HYPH_DOCS_SQL, "text"))
+def _q_hyphens_to_blanks(spark, sf_dir):
+    """`R/4_abbreviations.R:33-35` (input snippet pre-folded to hyphens)."""
+    docs = _docs_df(spark, sf_dir).withColumn(
+        "text", F.regexp_replace("text", " ", "-"))
+    _, ln = _run_cell_op(spark, docs, "hyphens_to_blanks", ["text"], RATE)
+    return _lineage_out(ln)
+
+
+_ST_ABBR = f"{STAGE}|abbr|fname"
+_ABBR_SQL = f"""
+WITH {_PERSONS_SQL.strip()}
+SELECT rid, 'fname' AS field, 'first_letter_abbreviate' AS error,
+       fname AS before, substring(fname, 1, 1) AS after
+FROM pers
+WHERE fname IS NOT NULL AND length(fname) > 1
+  AND {_sql_bern(_sel_tok(_ST_ABBR), 'rid', PRATE)}
+ORDER BY rid, field, error
+"""
+
+
+@_op("first_letter_abbreviate", _ABBR_SQL)
+def _q_abbr(spark, sf_dir):
+    """`R/4_abbreviations.R:1-27`."""
+    _, ln = _run_cell_op(spark, _persons_df(spark, sf_dir),
+                         "first_letter_abbreviate", ["fname"], PRATE)
+    return _lineage_out(ln)
+
+
+_ST_MISS = f"{STAGE}|missing|mname"
+_MISS_SQL = f"""
+WITH {_PERSONS_SQL.strip()}
+SELECT rid, 'mname' AS field, 'make_missing' AS error,
+       mname AS before, '' AS after
+FROM pers
+WHERE mname IS NOT NULL
+  AND {_sql_bern(_sel_tok(_ST_MISS), 'rid', PRATE)}
+ORDER BY rid, field, error
+"""
+
+
+@_op("make_missing", _MISS_SQL)
+def _q_make_missing(spark, sf_dir):
+    """`R/4_abbreviations.R:99-127` (after recorded as '')."""
+    _, ln = _run_cell_op(spark, _persons_df(spark, sf_dir), "make_missing",
+                         ["mname"], PRATE)
+    return _lineage_out(ln)
+
+
+_ST_SWAP = f"{STAGE}|swap|fname|lname"
+_SWAPF_SQL = f"""
+WITH {_PERSONS_SQL.strip()},
+sel AS (
+  SELECT rid, fname, lname FROM pers
+  WHERE fname IS NOT NULL AND lname IS NOT NULL AND fname <> lname
+    AND {_sql_bern(_sel_tok(_ST_SWAP), 'rid', PRATE)}
+)
+SELECT {_LN_COLS} FROM (
+  SELECT rid, 'fname' AS field, 'swap_fields' AS error,
+         fname AS before, lname AS after FROM sel
+  UNION ALL
+  SELECT rid, 'lname' AS field, 'swap_fields' AS error,
+         lname AS before, fname AS after FROM sel
+) ORDER BY rid, field, error
+"""
+
+
+@_op("swap_fields", _SWAPF_SQL)
+def _q_swap_fields(spark, sf_dir):
+    """`R/5_swaps.R:1-31` — two lineage rows per swapped pair."""
+    _, ln = _run_cell_op(spark, _persons_df(spark, sf_dir), "swap_fields",
+                         ["fname", "lname"], PRATE)
+    return _lineage_out(ln)
+
+
+# ------------------------------------------------------------ date ops
+
+def _persons_dob_sql() -> str:
+    return f"""{_PERSONS_SQL.strip()},
+pd AS (SELECT *, {_DOB_SQL} AS dob FROM pers)"""
+
+
+_ST_DSWAP = f"{STAGE}|date_swap|dob"
+_DSWAP_SQL = f"""
+WITH {_persons_dob_sql()}
+SELECT rid, 'dob' AS field, 'date_swap' AS error, dob::VARCHAR AS before,
+       make_date(year(dob), day(dob), month(dob))::VARCHAR AS after
+FROM pd
+WHERE dob IS NOT NULL AND day(dob) < 13 AND month(dob) <> day(dob)
+  AND {_sql_bern(_sel_tok(_ST_DSWAP), 'rid', PRATE)}
+ORDER BY rid, field, error
+"""
+
+
+@_op("date_swap", _DSWAP_SQL)
+def _q_date_swap(spark, sf_dir):
+    """Day↔month swap (`R/7_dob_errors.R:28-82`)."""
+    _, ln = _run_cell_op(spark, _with_dob(_persons_df(spark, sf_dir)),
+                         "date_swap", ["dob"], PRATE)
+    return _lineage_out(ln)
+
+
+_ST_DTD = f"{STAGE}|date_tpose_day|dob"
+_DTD_SQL = f"""
+WITH {_persons_dob_sql()},
+c AS (
+  SELECT rid, dob, (day(dob) % 10) * 10 + (day(dob) // 10) AS newday FROM pd
+)
+SELECT rid, 'dob' AS field, 'date_transpose_day' AS error,
+       dob::VARCHAR AS before,
+       make_date(year(dob), month(dob), newday)::VARCHAR AS after
+FROM c
+WHERE dob IS NOT NULL AND newday <> day(dob) AND newday >= 1
+  AND newday <= day(last_day(dob))
+  AND {_sql_bern(_sel_tok(_ST_DTD), 'rid', PRATE)}
+ORDER BY rid, field, error
+"""
+
+
+@_op("date_transpose_day", _DTD_SQL)
+def _q_date_transpose_day(spark, sf_dir):
+    """Zero-padded day digit transposition (`R/7_dob_errors.R:85-193`)."""
+    _, ln = _run_cell_op(spark, _with_dob(_persons_df(spark, sf_dir)),
+                         "date_transpose", ["dob"], PRATE, token="day")
+    return _lineage_out(ln)
+
+
+_ST_DTY = f"{STAGE}|date_tpose_year|dob"
+_DTY_SQL = f"""
+WITH {_persons_dob_sql()},
+c AS (
+  SELECT rid, dob,
+         year(dob) % 10 AS d1, (year(dob) // 10) % 10 AS d2,
+         year(dob) - ((year(dob) // 10) % 10) * 10 - (year(dob) % 10)
+           + (year(dob) % 10) * 10 + ((year(dob) // 10) % 10) AS newy
+  FROM pd
+)
+SELECT rid, 'dob' AS field, 'date_transpose_year' AS error,
+       dob::VARCHAR AS before,
+       make_date(newy, month(dob), day(dob))::VARCHAR AS after
+FROM c
+WHERE dob IS NOT NULL AND d1 <> d2
+  AND ((month(dob) <> 2) OR (day(dob) <> 29)
+       OR ((newy % 4 = 0) AND ((newy % 100 <> 0) OR (newy % 400 = 0))))
+  AND {_sql_bern(_sel_tok(_ST_DTY), 'rid', PRATE)}
+ORDER BY rid, field, error
+"""
+
+
+@_op("date_transpose_year", _DTY_SQL)
+def _q_date_transpose_year(spark, sf_dir):
+    """Last-two-year-digit transposition (`R/7_dob_errors.R:85-193`)."""
+    _, ln = _run_cell_op(spark, _with_dob(_persons_df(spark, sf_dir)),
+                         "date_transpose", ["dob"], PRATE, token="year")
+    return _lineage_out(ln)
+
+
+def _drepl_sql(token: str) -> str:
+    st = f"{STAGE}|date_repl_{token}|dob"
+    u = _sql_mod(draw_token(SEED, st, "digit"), "rid", 9)
+    upos = _sql_mod(draw_token(SEED, st, "pos"), "rid", 2)
+    if token == "year":
+        body = f"""
+c AS (
+  SELECT rid, dob, {u} AS u, {upos} AS upos,
+         year(dob) % 10 AS ones, (year(dob) // 10) % 10 AS tens
+  FROM pd
+  WHERE dob IS NOT NULL AND ((month(dob) <> 2) OR (day(dob) <> 29))
+    AND {_sql_bern(_sel_tok(st), 'rid', PRATE)}
+),
+n AS (
+  SELECT rid, dob,
+    CASE WHEN upos = 0 THEN year(dob) - ones + ((ones + 1 + u) % 10)
+         ELSE year(dob) - tens * 10 + ((tens + 1 + u) % 10) * 10 END AS newy
+  FROM c
+)
+SELECT rid, 'dob' AS field, 'date_replace_year' AS error,
+       dob::VARCHAR AS before,
+       make_date(newy, month(dob), day(dob))::VARCHAR AS after
+FROM n WHERE dob::VARCHAR <> make_date(newy, month(dob), day(dob))::VARCHAR"""
+    elif token == "month":
+        um = _sql_mod(draw_token(SEED, st, "month"), "rid", 11)
+        body = f"""
+c AS (
+  SELECT rid, dob, ((month(dob) - 1 + 1 + {um}) % 12) + 1 AS newm
+  FROM pd
+  WHERE dob IS NOT NULL AND {_sql_bern(_sel_tok(st), 'rid', PRATE)}
+),
+n AS (
+  SELECT rid, dob,
+    CASE WHEN day(dob) <= day(last_day(make_date(year(dob), newm, 1)))
+         THEN make_date(year(dob), newm, day(dob))
+         ELSE make_date(year(dob), month(dob), day(dob)) END AS nd
+  FROM c
+)
+SELECT rid, 'dob' AS field, 'date_replace_month' AS error,
+       dob::VARCHAR AS before, nd::VARCHAR AS after
+FROM n WHERE dob::VARCHAR <> nd::VARCHAR"""
+    else:  # day
+        body = f"""
+c AS (
+  SELECT rid, dob, {u} AS u, {upos} AS upos,
+         day(dob) % 10 AS ones, day(dob) // 10 AS tens,
+         day(last_day(dob)) AS maxday
+  FROM pd
+  WHERE dob IS NOT NULL AND {_sql_bern(_sel_tok(st), 'rid', PRATE)}
+),
+n AS (
+  SELECT rid, dob,
+    greatest(1, least(
+      CASE WHEN upos = 0 THEN day(dob) - ones + ((ones + 1 + u) % 10)
+           ELSE day(dob) - tens * 10 + ((tens + 1 + u) % 3) * 10 END,
+      maxday)) AS newday
+  FROM c
+)
+SELECT rid, 'dob' AS field, 'date_replace_day' AS error,
+       dob::VARCHAR AS before,
+       make_date(year(dob), month(dob), newday)::VARCHAR AS after
+FROM n WHERE dob::VARCHAR <> make_date(year(dob), month(dob), newday)::VARCHAR"""
+    return f"""
+WITH {_persons_dob_sql()},
+{body.strip()}
+ORDER BY rid, field, error
+"""
+
+
+def _make_drepl(token: str):
+    def q(spark, sf_dir):
+        _, ln = _run_cell_op(spark, _with_dob(_persons_df(spark, sf_dir)),
+                             "date_replace", ["dob"], PRATE, token=token)
+        return _lineage_out(ln)
+    q.__doc__ = f"date_replace {token} (`R/7_dob_errors.R:197-256`)."
+    return q
+
+
+for _tok in ("day", "month", "year"):
+    _op(f"date_replace_{_tok}", _drepl_sql(_tok))(_make_drepl(_tok))
+
+
+_GB_ST = f"{STAGE}|gen_bday"
+_GENB_SQL = f"""
+WITH {_PERSONS_SQL.strip()}
+SELECT rid,
+  (make_date(2024 - birth_age, 1, 1)
+   + {_sql_mod(draw_token(SEED, _GB_ST, 'doy'), 'rid', 365)})::VARCHAR AS dob2
+FROM pers ORDER BY rid
+"""
+
+
+@_op("gen_birthday_from_age", _GENB_SQL)
+def _q_gen_bday(spark, sf_dir):
+    """dob synthesis from age (`R/7_dob_errors.R:1-25`) — a generator, so
+    the oracle checks the generated column itself."""
+    out, _ = _run_cell_op(spark, _persons_df(spark, sf_dir),
+                          "gen_birthday_from_age", [], PRATE,
+                          age="birth_age", out_col="dob2")
+    return out.select(KEY, F.col("dob2").cast("string").alias("dob2")).orderBy(KEY)
+
+
+# ------------------------------------------------------------ lookup ops
+
+def _nick_lookup_sql(direction: str) -> str:
+    """names_lookup dim as SQL VALUES (same rows as
+    sources.persons.nickname_lookup)."""
+    if direction == "to_nick":
+        pairs = NICKNAMES
+    else:
+        pairs = [(b, a) for a, b in NICKNAMES]
+    vals = ", ".join(f"('{n}', '{a}')" for n, a in pairs)
+    return f"(VALUES {vals}) lk(lookup_name, lookup_alternate)"
+
+
+def _nick_sym_sql() -> str:
+    pairs = list(NICKNAMES) + [(b, a) for a, b in NICKNAMES]
+    vals = ", ".join(f"('{n}', '{a}')" for n, a in pairs)
+    return f"(VALUES {vals}) lk(lookup_name, lookup_alternate)"
+
+
+_NICK_POOL = sorted({b for _, b in NICKNAMES})
+_NICK_TOK = "pers|fnick|"
+
+
+def _persons_nick_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persons variant whose fname is drawn from the NICKNAME pool, so the
+    nick→proper direction has real matches to substitute."""
+    pool = F.array(*[F.lit(x) for x in _NICK_POOL])
+    return _persons_df(spark, sf_dir).withColumn(
+        "fname", F.element_at(pool, md5_mod(_NICK_TOK, KEY, len(_NICK_POOL)) + 1))
+
+
+_PERSONS_NICK_SQL = f"""{_PERSONS_SQL.strip().rstrip(')').rstrip()}
+  ),
+  persbase AS (SELECT * FROM pers),
+  pers2 AS (
+    SELECT * REPLACE (list_element({_sql_list(_NICK_POOL)},
+      {_sql_mod(_NICK_TOK, 'rid', len(_NICK_POOL))} + 1) AS fname)
+    FROM persbase
+  )"""
+
+
+def _lookup_sub_sql(op_name: str, lookup_values: str, col: str = "fname",
+                    rate: float = PRATE, persons_sql: str = _PERSONS_SQL,
+                    pers: str = "pers") -> str:
+    st = f"{STAGE}|{op_name}|{col}"
+    alt_tok = draw_token(SEED, st, "alt")
+    return f"""
+WITH {persons_sql.strip()},
+pick AS (
+  SELECT lookup_name, lookup_alternate
+  FROM {lookup_values}
+  QUALIFY row_number() OVER (
+    PARTITION BY lookup_name
+    ORDER BY {_sql_u64(alt_tok, 'lookup_alternate')}) = 1
+)
+SELECT rid, '{col}' AS field, '{op_name}' AS error,
+       {col} AS before, lookup_alternate AS after
+FROM {pers} JOIN pick ON {col} = lookup_name
+WHERE lookup_alternate IS NOT NULL AND lookup_alternate <> {col}
+  AND {_sql_bern(_sel_tok(st), 'rid', rate)}
+ORDER BY rid, field, error
+"""
+
+
+def _nick_lookup_df(spark):
+    from rlerrorgenerator_spark.sources.persons import nickname_lookup
+    return nickname_lookup(spark)
+
+
+@_op("real_to_nicknames", _lookup_sub_sql("real_to_nicknames", _nick_lookup_sql("to_nick")))
+def _q_real_to_nick(spark, sf_dir):
+    """`R/3_nicknames_errors.R:1-52`."""
+    _, ln = _run_cell_op(spark, _persons_df(spark, sf_dir), "real_to_nicknames",
+                         ["fname"], PRATE, lookup=_nick_lookup_df(spark))
+    return _lineage_out(ln)
+
+
+@_op("nick_to_realnames",
+     _lookup_sub_sql("nick_to_realnames", _nick_lookup_sql("to_proper"),
+                     persons_sql=_PERSONS_NICK_SQL, pers="pers2"))
+def _q_nick_to_real(spark, sf_dir):
+    """`R/3_nicknames_errors.R:55-106` — over the nickname-pool persons
+    variant so the nick→proper direction has real substitutions."""
+    _, ln = _run_cell_op(spark, _persons_nick_df(spark, sf_dir),
+                         "nick_to_realnames", ["fname"], PRATE,
+                         lookup=_nick_lookup_df(spark))
+    return _lineage_out(ln)
+
+
+@_op("invert_real_and_nicknames", _lookup_sub_sql("invert_real_and_nicknames", _nick_sym_sql()))
+def _q_invert_nick(spark, sf_dir):
+    """`R/3_nicknames_errors.R:109-159`."""
+    nick_real = spark.createDataFrame(list(NICKNAMES), ["key", "lookup"])
+    _, ln = _run_cell_op(spark, _persons_df(spark, sf_dir),
+                         "invert_real_and_nicknames", ["fname"], PRATE,
+                         lookup=nick_real)
+    return _lineage_out(ln)
+
+
+def _suffix_sql() -> str:
+    from rlerrorgenerator_spark.operators.lookup import (
+        DEFAULT_SUFFIX_WEIGHTS,
+        DEFAULT_SUFFIXES,
+    )
+    st = f"{STAGE}|suffix|lname"
+    total = int(sum(DEFAULT_SUFFIX_WEIGHTS))
+    v = _sql_mod(draw_token(SEED, st, "suffix"), "rid", total)
+    case, acc = [], 0
+    for sfx, wgt in zip(DEFAULT_SUFFIXES[:-1], DEFAULT_SUFFIX_WEIGHTS[:-1]):
+        acc += int(wgt)
+        case.append(f"WHEN v < {acc} THEN '{sfx}'")
+    pick = "CASE " + " ".join(case) + f" ELSE '{DEFAULT_SUFFIXES[-1]}' END"
+    return f"""
+WITH {_PERSONS_SQL.strip()},
+sel AS (
+  SELECT rid, lname, {v} AS v FROM pers
+  WHERE lname IS NOT NULL AND gender_code = 'm'
+    AND {_sql_bern(_sel_tok(st), 'rid', PRATE)}
+)
+SELECT rid, 'lname' AS field, 'add_name_suffix' AS error,
+       lname AS before, lname || ' ' || ({pick}) AS after
+FROM sel ORDER BY rid, field, error
+"""
+
+
+@_op("add_name_suffix", _suffix_sql())
+def _q_add_suffix(spark, sf_dir):
+    """Weighted suffix append, male rows (`R/3_nicknames_errors.R:221-257`)."""
+    _, ln = _run_cell_op(spark, _persons_df(spark, sf_dir), "add_name_suffix",
+                         ["lname"], PRATE, sex="gender_code")
+    return _lineage_out(ln)
+
+
+def _married_sql() -> str:
+    st = f"{STAGE}|married|lname"
+    sorted_lnames = sorted(LNAMES)
+    sidx = _sql_mod(draw_token(SEED, st, "sidx"), "rid", len(LNAMES))
+    return f"""
+WITH {_PERSONS_SQL.strip()}
+SELECT rid, 'lname' AS field, 'married_name_change' AS error,
+       lname AS before,
+       list_element({_sql_list(sorted_lnames)}, {sidx} + 1) AS after
+FROM pers
+WHERE lname IS NOT NULL AND gender_code = 'f' AND birth_age > 20
+  AND {_sql_bern(_sel_tok(st), 'rid', PRATE)}
+ORDER BY rid, field, error
+"""
+
+
+@_op("married_name_change", _married_sql())
+def _q_married(spark, sf_dir):
+    """Surname replacement from a dim (`R/6_file_based_errors.R:1-37`)."""
+    from rlerrorgenerator_spark.sources.persons import surname_dim
+    _, ln = _run_cell_op(spark, _persons_df(spark, sf_dir), "married_name_change",
+                         ["lname"], PRATE, surnames=surname_dim(spark),
+                         sex="gender_code", age="birth_age")
+    return _lineage_out(ln)
+
+
+# ------------------------------------------------------------ row ops
+
+_ST_DUP_INDEL = f"{STAGE}|indel|fname"
+_ST_DUP = f"{STAGE}|add_duplicates"
+_DUP_SQL = f"""
+WITH {_PERSONS_SQL.strip()},
+errored AS (
+  SELECT rid, fname, lname FROM pers
+  WHERE fname IS NOT NULL AND length(fname) > 0
+    AND {_sql_bern(_sel_tok(_ST_DUP_INDEL), 'rid', PRATE)}
+)
+SELECT rid || '#dup1' AS rid, fname, lname
+FROM errored
+WHERE {_sql_bern(_sel_tok(_ST_DUP), 'rid', 0.5)}
+ORDER BY rid
+"""
+
+
+@_op("add_duplicates", _DUP_SQL)
+def _q_add_duplicates(spark, sf_dir):
+    """Clean-copy duplicates of errored rows (`R/6_file_based_errors.R:39-74`):
+    run one md5-mode indel first, then duplicate a Bernoulli(0.5) subset of
+    the errored ids — the appended rows carry the CLEAN field values."""
+    from rlerrorgenerator_spark.operators.rows import add_duplicates
+
+    clean = _persons_df(spark, sf_dir)
+    dirty, ln = _run_cell_op(spark, clean, "indel", ["fname"], PRATE)
+    out, _ = add_duplicates(dirty, ln, 0, seed=SEED, stage=STAGE, ts=2,
+                            clean=clean, exact=False, rate=0.5, rng=MD5_RNG)
+    return (out.where(F.col(KEY).endswith("#dup1"))
+               .select(KEY, "fname", "lname").orderBy(KEY))
+
+
+_ST_NDUP = f"{STAGE}|near_dup"
+_EPOCH0 = 1709251200  # 2024-03-01T00:00:00Z
+_NDUP_SQL = f"""
+WITH {_DOCS_SQL.strip()},
+pages AS (
+  SELECT rid, 'https://ex.org/d' || rid AS url,
+         {_EPOCH0} + {_sql_mod('pages|ts|', 'rid', 86400)} AS epoch0
+  FROM input
+),
+sel AS (
+  SELECT * FROM pages WHERE {_sql_bern(_sel_tok(_ST_NDUP), 'rid', RATE)}
+)
+SELECT url || '#twin1' AS rid, url || '~2' AS url,
+       epoch0 + {_sql_mod(draw_token(SEED, _ST_NDUP, 'shift'), 'rid', 3600)} + 1 AS ts_epoch
+FROM sel ORDER BY rid
+"""
+
+
+@_op("add_near_duplicates", _NDUP_SQL)
+def _q_add_near_duplicates(spark, sf_dir):
+    """Near-duplicate page rows: shifted url + crawl time
+    (pages analogue of `R/6_file_based_errors.R:129-191`)."""
+    from rlerrorgenerator_spark.operators.rows import add_near_duplicates
+
+    pages = _docs_df(spark, sf_dir).select(
+        F.col(KEY),
+        F.concat(F.lit("https://ex.org/d"), F.col(KEY)).alias("url"),
+    ).withColumn("orig_url", F.col("url")).withColumn(
+        "warc_ts",
+        F.timestamp_seconds(F.lit(_EPOCH0) + md5_mod("pages|ts|", KEY, 86400)),
+    )
+    out, _ = add_near_duplicates(pages, empty_lineage(spark), 0, seed=SEED,
+                                 stage=STAGE, ts=1, exact=False, rate=RATE,
+                                 rng=MD5_RNG)
+    return (out.where(F.col(KEY).endswith("#twin1"))
+               .select(KEY, "url",
+                       F.unix_timestamp("warc_ts").cast("long").alias("ts_epoch"))
+               .orderBy(KEY))
+
+
+_ST_MKT = f"{STAGE}|make_twins"
+_MKT_SQL = f"""
+WITH {_PERSONS_SQL.strip()},
+pd AS (
+  SELECT *,
+    make_date(2024 - birth_age, 1, 1)
+      + {_sql_mod(draw_token(SEED, 'bday', 'doy'), 'rid', 365)} AS dob
+  FROM pers
+),
+tw AS (
+  SELECT rid, lname, birth_age, dob,
+         count(*) OVER (PARTITION BY lname, birth_age) AS grp_n,
+         min(dob) OVER (PARTITION BY lname, birth_age) AS bday_twin
+  FROM pd
+),
+marked AS (
+  SELECT rid, dob, bday_twin,
+         CASE WHEN grp_n > 1 THEN lname || '|' || birth_age::VARCHAR END AS twin_id
+  FROM tw
+)
+SELECT rid, 'dob' AS field, 'make_twins' AS error,
+       dob::VARCHAR AS before, bday_twin::VARCHAR AS after
+FROM marked
+WHERE twin_id IS NOT NULL AND bday_twin IS NOT NULL AND dob <> bday_twin
+  AND {_sql_bern(_sel_tok(_ST_MKT), 'twin_id', 0.5)}
+ORDER BY rid, field, error
+"""
+
+
+@_op("make_twins", _MKT_SQL)
+def _q_make_twins(spark, sf_dir):
+    """Benchmark twin-dob overwrite (`benchmarking/utils.R:663-697`), over
+    get_bdays(rng='md5') twin marking."""
+    from rlerrorgenerator_spark.operators.rows import make_twins
+    from rlerrorgenerator_spark.sources.persons import get_bdays
+
+    pd_df = get_bdays(_persons_df(spark, sf_dir), seed=SEED, rng="md5")
+    _, ln = make_twins(pd_df, empty_lineage(spark), 0, seed=SEED, stage=STAGE,
+                       ts=1, exact=False, rate=0.5, rng=MD5_RNG)
+    return _lineage_out(ln)
+
+
+_ST_TWG = f"{STAGE}|twins"
+_TWG_SQL = f"""
+WITH {_PERSONS_SQL.strip()},
+nm AS (
+  SELECT nm FROM (VALUES {", ".join(f"('{n}')" for n in FNAMES_MALE + FNAMES_FEMALE)}) t(nm)
+),
+pick AS (
+  SELECT length(nm) AS len, substring(nm, 1, 1) AS fl, nm
+  FROM nm
+  QUALIFY row_number() OVER (
+    PARTITION BY length(nm), substring(nm, 1, 1)
+    ORDER BY {_sql_u64(draw_token(SEED, _ST_TWG, 'nm'), 'nm')}) = 1
+),
+sel AS (
+  SELECT rid, fname FROM pers
+  WHERE fname IS NOT NULL AND length(fname) > 0
+    AND {_sql_bern(_sel_tok(_ST_TWG), 'rid', PRATE)}
+)
+SELECT rid || '#twin1' AS rid, 'fname' AS field, 'twin' AS error,
+       NULL::VARCHAR AS before, coalesce(pick.nm, sel.fname) AS after
+FROM sel LEFT JOIN pick
+  ON length(sel.fname) = pick.len AND substring(sel.fname, 1, 1) = pick.fl
+ORDER BY rid, field, error
+"""
+
+
+@_op("twins_generate", _TWG_SQL)
+def _q_twins_generate(spark, sf_dir):
+    """Appended twins with same-(length, first letter) fname
+    (`R/6_file_based_errors.R:129-191`)."""
+    from rlerrorgenerator_spark.operators.rows import twins_generate
+
+    names = spark.createDataFrame(
+        [(n,) for n in FNAMES_MALE + FNAMES_FEMALE], ["name"])
+    _, ln = twins_generate(_persons_df(spark, sf_dir), empty_lineage(spark),
+                           0, ["fname"], seed=SEED, stage=STAGE, ts=1,
+                           names=names, exact=False, rate=PRATE, rng=MD5_RNG)
+    return _lineage_out(ln)
+
+
+_PREP_SQL = """
+WITH raw AS (
+  SELECT 'HTTPS://Ex.org/D' || doc_id::VARCHAR AS url,
+         upper(lang) AS lang
+  FROM documents
+)
+SELECT lower(url) AS rid, lower(url) AS url, lower(lang) AS lang,
+       'b' AS file, lower(url) AS orig_url
+FROM raw ORDER BY rid
+"""
+
+
+@_op("prep_data", _PREP_SQL)
+def _q_prep_data(spark, sf_dir):
+    """prep_data ingest normalization (`R/1_error.R:3-26`): lowercase link
+    fields, stamp file + stable row key."""
+    from rlerrorgenerator_spark.sources.pages import prep_pages
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("HTTPS://Ex.org/D"), F.col("doc_id").cast("string")).alias("url"),
+        F.upper("lang").alias("lang"),
+    )
+    return prep_pages(raw).select("rid", "url", "lang", "file", "orig_url") \
+                          .orderBy("rid")
+
+
+def er_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {f"er_op_{name}": op.spark_fn for name, op in ER_ORACLE_OPS.items()}
+
+
+def er_oracle_sql() -> dict[str, str]:
+    return {f"er_op_{name}": op.sql for name, op in ER_ORACLE_OPS.items()}
