@@ -181,6 +181,67 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails + phone numbers → placeholder tokens).
+
+    The synthetic corpus carries no PII, so the query first SPLICES
+    deterministic synthetic PII into an md5-selected subset (same
+    derivation in the DuckDB oracle), then scrubs — verifying both the
+    redaction regexes and the counts cross-engine. Scale shape: one
+    narrow codegen projection, no shuffle, no Python."""
+    from rlerrorgenerator_spark.functions.textops import pii_scrub
+    from rlerrorgenerator_spark.rng import md5_mod
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 160).alias("text"))
+    key = F.col("doc_id").cast("string")
+    sel_mail = md5_mod("pii|m|", key, 2) == 0
+    sel_phone = md5_mod("pii|p|", key, 3) == 0
+    email = F.concat(F.lit("user"), md5_mod("pii|u|", key, 1000).cast("string"),
+                     F.lit("@ex"), md5_mod("pii|d|", key, 100).cast("string"),
+                     F.lit(".com"))
+    phone = F.concat(F.lit("415-555-"),
+                     F.lpad(md5_mod("pii|n|", key, 10000).cast("string"), 4, "0"))
+    with_pii = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(sel_mail, F.concat(email, F.lit(" "))).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(sel_phone, F.concat(F.lit(" "), phone)).otherwise(F.lit("")),
+        ),
+    )
+    scrubbed, n_mail, n_phone = pii_scrub("text")
+    return with_pii.select(
+        "doc_id",
+        n_mail.cast("long").alias("n_emails"),
+        n_phone.cast("long").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    ).orderBy("doc_id")
+
+
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 8-token
+    shingle with the held-out eval set (docs from source 'src0').
+
+    Scale shape: explode shingles on BOTH sides, hash to 64-bit, inner
+    join eval-shingle set (broadcastable: |eval| ≪ |train|), distinct
+    doc ids — the standard n-gram-overlap decontamination pass (as used
+    for public LLM train/test splits), never all-pairs."""
+    from rlerrorgenerator_spark.functions.textops import word_shingles
+
+    docs = _load(spark, sf_dir, "documents")
+    k = 8
+    sh = docs.select("doc_id", "source",
+                     F.explode(word_shingles("text", k)).alias("g"))
+    eval_sh = sh.where(F.col("source") == "src0")                 .select(F.col("g").alias("g")).distinct()
+    hits = (
+        sh.where(F.col("source") != "src0")
+        .join(F.broadcast(eval_sh), "g")
+        .select("doc_id").distinct()
+    )
+    return hits.orderBy("doc_id")
+
+
 # ------------------------------------------------------------------- dedup
 # The driver corpus has no duplicates at sf0.01, so dedup queries run on a
 # deterministically "doubled" corpus: documents ∪ (shifted-id copies, one
@@ -381,6 +442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_langid": doc_langid,
         "doc_winnow": doc_winnow,
+        "doc_pii_scrub": doc_pii_scrub,
+        "doc_decontaminate": doc_decontaminate,
         "dup_exact_groups": dup_exact_groups,
         "dup_ngram_jaccard": dup_ngram_jaccard,
         "dup_minhash": dup_minhash,
@@ -807,6 +870,49 @@ def oracle_sql() -> dict[str, str]:
         # (iterative seeded-RNG programs), and ann_ivf_topk (iterative
         # float k-means no independent engine reproduces bit-identically —
         # the query row itself carries the recall evidence).
+        "doc_pii_scrub": """
+            WITH base AS (
+              SELECT doc_id, substring(text, 1, 160) AS text,
+                     doc_id::VARCHAR AS k
+              FROM documents
+            ),
+            injected AS (
+              SELECT doc_id,
+                (CASE WHEN ('0x' || substring(md5('pii|m|' || k), 17, 16))::UBIGINT % 2 = 0
+                 THEN 'user' || (('0x' || substring(md5('pii|u|' || k), 17, 16))::UBIGINT % 1000)::VARCHAR
+                      || '@ex' || (('0x' || substring(md5('pii|d|' || k), 17, 16))::UBIGINT % 100)::VARCHAR
+                      || '.com '
+                 ELSE '' END)
+                || text
+                || (CASE WHEN ('0x' || substring(md5('pii|p|' || k), 17, 16))::UBIGINT % 3 = 0
+                    THEN ' 415-555-' || lpad((('0x' || substring(md5('pii|n|' || k), 17, 16))::UBIGINT % 10000)::VARCHAR, 4, '0')
+                    ELSE '' END) AS text
+              FROM base
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+                   regexp_replace(
+                     regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                     '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+            FROM injected ORDER BY doc_id
+        """,
+        "doc_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, source, unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 7, 1)),
+                       i -> array_to_string(w[i:i+7], ' ')))) AS g
+              FROM toks
+            ),
+            ev AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+            SELECT DISTINCT doc_id
+            FROM grams JOIN ev USING (g)
+            WHERE source <> 'src0'
+            ORDER BY doc_id
+        """,
         **_er_oracle_sql_entries(),
     }
 

@@ -194,3 +194,26 @@ def with_shingles(df: DataFrame, text_col, out_col: str, k: int = 5,
     return step.withColumn(
         out_col, word_shingles_from_tokens(F.col("__toks__"), k)
     ).drop("__toks__")
+
+
+# ------------------------------------------------------------- PII scrub
+
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(col) -> "tuple[Column, Column, Column]":
+    """Redact emails / phone numbers; return (scrubbed, n_emails, n_phones).
+
+    The standard pre-training privacy pass: pure codegen regexes (RE2-safe
+    patterns so a DuckDB oracle evaluates them identically). At 100 TB
+    this is a narrow map — no shuffle, no Python.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
+    return (
+        scrubbed,
+        F.regexp_count(c, F.lit(EMAIL_RE)),
+        F.regexp_count(c, F.lit(PHONE_RE)),
+    )
