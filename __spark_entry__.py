@@ -3,13 +3,14 @@
 ``entry`` runs the flagship record-linkage pipeline on sf0.001;
 ``queries()`` exposes every implemented operator family from SURVEY.md §2
 (+ the training-data ops) over the driver's parquet tables, including one
-named ``er_op_<operator>`` audit query per §2.A error transform (fixed
-seed; the returned ``violations`` column counts lineage rows breaking
-that operator's contract and must be 0 — see
-rlerrorgenerator_spark/audit.py); ``oracle_sql`` gives the
-DuckDB-equivalent SQL for everything SQL-expressible (the seeded-RNG
-injection/linkage/audit programs fall under the driver's rows-only check,
-as the contract allows, but their rows are self-checking).
+named ``er_op_<operator>`` query per §2.A error transform. As of round 3
+the er_op_* queries are ORACLE-CHECKED: each runs the real transform in
+``rng='md5'`` mode and its DuckDB oracle re-derives the entire injection
+(selection, draws, edits) bit-identically — see
+rlerrorgenerator_spark/oracle_er.py. Rows-only remainders per the driver
+contract: the er_pipeline family, er_op_calibration and
+er_audit_violations (iterative seeded-RNG programs, self-checking rows),
+and ann_ivf_topk (iterative float k-means).
 
 Float discipline for cross-engine value-hash parity: every double
 aggregate is ``round``-ed identically on both sides, embeddings are cast
