@@ -337,6 +337,127 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- streaming
+# Structured Streaming surfaced as driver queries: each runs a real
+# streaming query (availableNow trigger over the parquet file source) to
+# completion inside the call and returns the sink table. Both are
+# ORACLE-CHECKED against batch SQL — the availableNow drain of a static
+# source must agree exactly with the batch computation.
+
+def _stream_src_dir(sf_dir: str, name: str) -> str:
+    """Spark's file-stream source requires a DIRECTORY; the driver tables
+    are single parquet files. Stage the file into a per-(sf_dir, table)
+    temp directory once (tiny at test scale; at crawl scale the source is
+    a real landing directory / Kafka topic and this shim disappears)."""
+    import os
+    import shutil
+    import tempfile
+
+    src = _t(sf_dir, name)
+    key = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8:08d}"
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{name}_{key}")
+    os.makedirs(d, exist_ok=True)
+    dst = os.path.join(d, f"{name}.parquet")
+    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+        shutil.copyfile(src, dst)
+    return d
+
+
+def _drain_stream(sdf, name: str, mode: str):
+    spark = sdf.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        sdf.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(availableNow=True).start()
+    )
+    # availableNow terminates after draining the source (stateful stages
+    # run with NoTimeout here, so no wall-clock "cleaning up state"
+    # batches keep the trigger alive). The timed fallback guards the
+    # driver against a wedged stream.
+    if not q.awaitTermination(600):
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window rollup (1h windows per event_type) in
+    COMPLETE output mode — state is the windowed aggregate itself. At
+    crawl scale this runs in append mode with a watermark
+    (streaming/ingest.py::host_window_counts); complete mode here makes
+    the static-source drain exactly equal to the batch oracle."""
+    ev_path = _t(sf_dir, "events")
+    schema = spark.read.parquet(ev_path).schema
+    src = spark.readStream.schema(schema).parquet(_stream_src_dir(sf_dir, "events"))
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    out = _drain_stream(agg, "stream_events_windows_sink", "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+    ).orderBy("window_start", "event_type")
+
+
+def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    gap-based per-user sessionization of the events stream, emitting one
+    row per CLOSED session. The oracle re-derives sessions with a batch
+    lag/cumsum window and drops each user's final (still-open) session —
+    exactly what the stateful operator leaves in state at drain end.
+    Timestamps compare at full microsecond precision on both sides."""
+    from rlerrorgenerator_spark.streaming.ingest import sessionize_stream
+
+    ev_path = _t(sf_dir, "events")
+    schema = spark.read.parquet(ev_path).schema
+    src = (spark.readStream.schema(schema)
+           .parquet(_stream_src_dir(sf_dir, "events"))
+           .select("user_id", "ts"))
+    sess = sessionize_stream(src, key_col="user_id", ts_col="ts",
+                             gap="12 hours", watermark=None,
+                             idle_timeout=False)
+    out = _drain_stream(sess, "stream_user_sessions_sink", "append")
+    return out.orderBy("user_id", "session_start")
+
+
+# -------------------------------------------------------------- multimodal
+
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over a deterministic synthetic media
+    table: REAL 24-bit-BMP / 16-bit-PCM-WAV decode + feature pooling in
+    pure numpy inside one mapInPandas pass (binaries never reach the
+    driver); codec-less payloads fall back to the hash feature.
+
+    Rows-only driver check (binary payloads are built in Python — no SQL
+    engine re-decodes BMP/WAV), but every value is deterministic and
+    partition-invariant: per-(kind, codec) counts, exact byte totals,
+    and a DECIMAL sum of per-row rounded feature norms (decimal addition
+    is exact, so the sum is independent of partitioning/order)."""
+    from rlerrorgenerator_spark.functions.multimodal import (
+        extract_features, synth_media)
+
+    media = synth_media(spark, n=96, seed=42).repartition(8)
+    feats = extract_features(media)
+    norm = F.round(
+        F.sqrt(F.aggregate(
+            "feature", F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"))),
+        3,
+    )
+    return (
+        feats.withColumn("norm3", norm.cast("decimal(12,3)"))
+        .groupBy("kind", "codec")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("norm3").alias("sum_feature_norm"),
+        )
+        .orderBy("kind", "codec")
+    )
+
+
 # ----------------------------------------------------- ER pipeline (seeded)
 # Deterministic but seeded-RNG programs — not SQL-expressible; the driver
 # records the rows-only check for these (per the contract).
@@ -449,6 +570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_jaccard": dup_ngram_jaccard,
         "dup_minhash": dup_minhash,
         "dup_simhash": dup_simhash,
+        "stream_events_windows": stream_events_windows,
+        "stream_user_sessions": stream_user_sessions,
+        "mm_features": mm_features,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_neardup": ann_neardup,
         "ann_lsh_topk": ann_lsh_topk,
@@ -913,6 +1037,44 @@ def oracle_sql() -> dict[str, str]:
             FROM grams JOIN ev USING (g)
             WHERE source <> 'src0'
             ORDER BY doc_id
+        """,
+        # Streaming queries: the availableNow drain of a static source
+        # must agree exactly with the batch computation.
+        "stream_events_windows": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        # Sessions via batch lag/cumsum; each user's LAST session is
+        # excluded — it is exactly the open session the stateful operator
+        # still holds in state when the availableNow drain terminates.
+        "stream_user_sessions": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 43200000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            ),
+            agg AS (
+              SELECT user_id, sid, min(ts) AS session_start,
+                     max(ts) AS session_end, count(*) AS n_events
+              FROM s GROUP BY user_id, sid
+            )
+            SELECT user_id, session_start, session_end, n_events
+            FROM agg
+            WHERE sid < (SELECT max(sid) FROM agg a2
+                         WHERE a2.user_id = agg.user_id)
+            ORDER BY user_id, session_start
         """,
         **_er_oracle_sql_entries(),
     }

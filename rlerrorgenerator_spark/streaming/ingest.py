@@ -75,43 +75,56 @@ def run_available_now(stream_df: DataFrame, out_dir: str, ckpt_dir: str,
     q.awaitTermination()
 
 
-def crawl_sessionize(pages: DataFrame, gap: str = "30 minutes",
-                     watermark: str = "2 hours") -> DataFrame:
-    """Custom STATEFUL operator: per-host crawl sessionization via
-    ``applyInPandasWithState`` — the north star's "custom stateful
-    streaming operator" shape. A session is a run of fetches from one
-    host with gaps under ``gap``; emits one row per CLOSED session
-    (host, session_start, session_end, n_pages). State per host is a
+def sessionize_stream(df: DataFrame, key_col: str, ts_col: str,
+                      gap: str = "30 minutes",
+                      watermark: str | None = "2 hours",
+                      count_col: str = "n_events",
+                      idle_timeout: bool = True) -> DataFrame:
+    """Custom STATEFUL operator: gap-based sessionization per ``key_col``
+    via ``applyInPandasWithState`` — the north star's "custom stateful
+    streaming operator" shape. A session is a run of rows for one key
+    with inter-arrival gaps under ``gap``; emits one row per CLOSED
+    session (key, session_start, session_end, count). State per key is a
     constant-size tuple (start, last_ts, count) and is dropped on
     timeout — bounded regardless of stream length.
+
+    Timestamps are handled at MICROSECOND precision end-to-end so the
+    gap comparisons match an engine computing on the raw timestamps
+    (the DuckDB oracle for the driver query does exactly that).
     """
-    import datetime as _dt
     from collections.abc import Iterator
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import types as T
 
-    gap_ms = _parse_duration_ms(gap)
+    gap_us = _parse_duration_ms(gap) * 1000
+    key_field = df.schema[key_col]
+    # session bounds keep the INPUT timestamp type (TIMESTAMP vs
+    # TIMESTAMP_NTZ) — the µs ints round-trip as wall-clock either way
+    ts_type = df.schema[ts_col].dataType
     out_schema = T.StructType([
-        T.StructField("host", T.StringType()),
-        T.StructField("session_start", T.TimestampType()),
-        T.StructField("session_end", T.TimestampType()),
-        T.StructField("n_pages", T.LongType()),
+        T.StructField(key_col, key_field.dataType),
+        T.StructField("session_start", ts_type),
+        T.StructField("session_end", ts_type),
+        T.StructField(count_col, T.LongType()),
     ])
     state_schema = "start long, last long, n long"
 
+    def _emit(key_val, sessions):
+        return pd.DataFrame({
+            key_col: [key_val] * len(sessions),
+            "session_start": [pd.Timestamp(c[0], unit="us") for c in sessions],
+            "session_end": [pd.Timestamp(c[1], unit="us") for c in sessions],
+            count_col: [c[2] for c in sessions],
+        })
+
     def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
-        (host,) = key
+        (key_val,) = key
         if state.hasTimedOut:
             start, last, n = state.get
             state.remove()
-            yield pd.DataFrame({
-                "host": [host],
-                "session_start": [pd.Timestamp(start, unit="ms")],
-                "session_end": [pd.Timestamp(last, unit="ms")],
-                "n_pages": [n],
-            })
+            yield _emit(key_val, [(start, last, n)])
             return
         cur = state.get if state.exists else None
         # A group's micro-batch rows arrive as MULTIPLE Arrow chunks in
@@ -121,29 +134,44 @@ def crawl_sessionize(pages: DataFrame, gap: str = "30 minutes",
         # once globally, then run the gap-split scan.
         all_ts: list[int] = []
         for b in batches:
-            all_ts.extend(int(t.value // 10**6) for t in pd.to_datetime(b["warc_ts"]))
-        closed, cur = _gap_split(all_ts, cur, gap_ms)
+            all_ts.extend(int(t.value // 10**3) for t in pd.to_datetime(b[ts_col]))
+        closed, cur = _gap_split(all_ts, cur, gap_us)
         if cur is not None:
             state.update(cur)
-            state.setTimeoutDuration(gap_ms)
+            if idle_timeout:
+                state.setTimeoutDuration(gap_us // 1000)
         if closed:
-            yield pd.DataFrame({
-                "host": [host] * len(closed),
-                "session_start": [pd.Timestamp(c[0], unit="ms") for c in closed],
-                "session_end": [pd.Timestamp(c[1], unit="ms") for c in closed],
-                "n_pages": [c[2] for c in closed],
-            })
+            yield _emit(key_val, closed)
 
-    host = F.regexp_extract("url", r"^[a-z0-9]+://(?:www\.)?([^/]+)", 1)
+    # watermark is optional: ProcessingTimeTimeout does not need one, and
+    # TIMESTAMP_NTZ event-time columns cannot carry a watermark at all.
+    # idle_timeout=False (NoTimeout) is for drain-to-completion runs: with
+    # ProcessingTimeTimeout pending, an availableNow trigger keeps running
+    # empty "cleaning up state" micro-batches until wall-clock timeouts
+    # fire; with NoTimeout the drain terminates after the data batches and
+    # open sessions honestly remain in state (never emitted).
+    wm = df.withWatermark(ts_col, watermark) if watermark else df
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout if idle_timeout
+                    else GroupStateTimeout.NoTimeout)
     return (
-        pages.withColumn("host", host)
-        .withWatermark("warc_ts", watermark)
-        .groupBy("host")
+        wm.groupBy(key_col)
         .applyInPandasWithState(
             fn, outputStructType=out_schema, stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout_conf,
         )
+    )
+
+
+def crawl_sessionize(pages: DataFrame, gap: str = "30 minutes",
+                     watermark: str = "2 hours") -> DataFrame:
+    """Per-host crawl sessionization (host derived from the url), one row
+    per closed session: (host, session_start, session_end, n_pages)."""
+    host = F.regexp_extract("url", r"^[a-z0-9]+://(?:www\.)?([^/]+)", 1)
+    return sessionize_stream(
+        pages.withColumn("host", host).select("host", "warc_ts"),
+        key_col="host", ts_col="warc_ts", gap=gap, watermark=watermark,
+        count_col="n_pages",
     )
 
 
