@@ -285,6 +285,34 @@ def dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dup_pairs(corpus, n_hashes=12, bands=6, k=5)
 
 
+def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clustering, ORACLE-CHECKED end to end: the
+    hash-to-min connected-components loop (linkage/resolve.py) runs over
+    the MinHash-LSH duplicate pairs and the DuckDB oracle re-derives both
+    the pairs (md5-u64 MinHash) and the components (recursive CTE:
+    propagate every label along edges, take the min per node). Ids are
+    zero-padded strings so lexicographic min == numeric min in both
+    engines. Scale shape: the Spark side is the production O(log d)
+    pointer-jumping CC with skew-salting; the recursive CTE is only the
+    small-scale cross-engine witness."""
+    from rlerrorgenerator_spark.linkage.resolve import clusters_from_links
+    from rlerrorgenerator_spark.plans.dedup import minhash_dup_pairs
+
+    corpus = _doubled_corpus(_load(spark, sf_dir, "documents"))
+    pairs = minhash_dup_pairs(corpus, n_hashes=12, bands=6, k=5)
+
+    def pad(c: str):
+        return F.lpad(F.col(c).cast("string"), 8, "0")
+
+    links = pairs.select(pad("id_a").alias("rid_a"), pad("id_b").alias("rid_b"))
+    cl = clusters_from_links(links)
+    return (
+        cl.groupBy("cluster_id").agg(F.count("*").alias("size"))
+        .where(F.col("size") > 1)
+        .orderBy("cluster_id")
+    )
+
+
 def dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rlerrorgenerator_spark.plans.dedup import simhash_dup_pairs
 
@@ -570,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_jaccard": dup_ngram_jaccard,
         "dup_minhash": dup_minhash,
         "dup_simhash": dup_simhash,
+        "dup_cluster_sizes": dup_cluster_sizes,
         "stream_events_windows": stream_events_windows,
         "stream_user_sessions": stream_user_sessions,
         "mm_features": mm_features,
@@ -844,6 +873,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(i::DOUBLE / (ca.n + cb.n - i), 6) >= 0.6
         """,
         "dup_minhash": _minhash_sql(12, 6),
+        # Transitive clustering over the MinHash pairs: recursive-CTE
+        # label propagation (min reachable id per node) — the independent
+        # witness for the hash-to-min CC operator.
+        "dup_cluster_sizes": f"""
+            WITH RECURSIVE pairs AS ({_minhash_sql(12, 6)}),
+            edges AS (
+              SELECT lpad(id_a::VARCHAR, 8, '0') AS a,
+                     lpad(id_b::VARCHAR, 8, '0') AS b
+              FROM pairs
+              UNION
+              SELECT lpad(id_b::VARCHAR, 8, '0'),
+                     lpad(id_a::VARCHAR, 8, '0')
+              FROM pairs
+            ),
+            reach(id, lbl) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+            ),
+            comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+            SELECT cluster_id, count(*) AS size
+            FROM comp GROUP BY cluster_id HAVING count(*) > 1
+            ORDER BY cluster_id
+        """,
         "dup_simhash": f"""
             WITH corpus AS ({_DOUBLED_SQL}),
             tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus),
