@@ -254,7 +254,16 @@ def _doubled_corpus(docs: DataFrame) -> DataFrame:
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.expr("replace(text, 'value', 'valuee')").alias("text"),
     )
-    return docs.select("doc_id", "text").unionByName(exact).unionByName(perturbed)
+    out = docs.select("doc_id", "text").unionByName(exact).unionByName(perturbed)
+    # The sf-dir table is a single parquet file → 1 input split per union
+    # branch, which serializes the CPU-dense per-token hashing (MinHash /
+    # SimHash sketches) onto 3 cores. Spread by doc_id before the sketch
+    # stages — a ~MB-scale shuffle that unlocks full parallelism. At crawl
+    # scale the source has thousands of splits and this repartition drops
+    # out (splits ≥ cores), but the idiom — rebalance before CPU-dense
+    # narrow stages when splits < cores — is the same one a real cluster
+    # needs after a selective filter.
+    return out.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
 
 
 _DOUBLED_SQL = (
@@ -1048,7 +1057,7 @@ def oracle_sql() -> dict[str, str]:
         # (iterative seeded-RNG programs), and ann_ivf_topk (iterative
         # float k-means no independent engine reproduces bit-identically —
         # the query row itself carries the recall evidence).
-        "doc_pii_scrub": """
+        "doc_pii_scrub": r"""
             WITH base AS (
               SELECT doc_id, substring(text, 1, 160) AS text,
                      doc_id::VARCHAR AS k

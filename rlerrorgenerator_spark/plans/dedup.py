@@ -63,6 +63,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("g")
     )
     hot = sh.groupBy("g").count().where(F.col("count") > max_shingle_freq).select("g")
+    # NOT checkpointed: the exploded posting list is ~400 rows/doc — at
+    # any scale, re-deriving it per consumer (narrow scan + explode) is
+    # cheaper than materializing it (measured 2× slower cold when
+    # checkpointed at sf0.1). Contrast minhash/simhash below, whose
+    # per-doc sketch is expensive to compute and tiny to store.
     sh = sh.join(F.broadcast(hot), "g", "left_anti")
     counts = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.toDF("g", "id_a")
@@ -138,6 +143,11 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
     out = sig.select("id", F.explode(structs).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
+    # materialize band keys before the self-join: Catalyst does not reuse
+    # the exchange across the two renamed sides, so without this the
+    # whole upstream (scan + shingle + n_hashes md5-min aggs) runs TWICE.
+    # At corpus scale this is the signatures table you'd persist anyway.
+    out = out.localCheckpoint(eager=False)
     a = out.toDF("id_a", "band", "bkey")
     b2 = out.toDF("id_b", "band", "bkey")
     return (
@@ -227,13 +237,21 @@ def simhash_dup_pairs(df: DataFrame, text_col: str = "text",
         "id", "sim_lo", "sim_hi",
         F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"),
     )
+    # materialize the banded sketch before the self-join (no exchange
+    # reuse across renamed sides — without this the scan + per-token md5
+    # sketch UDF runs once per side). 8 rows × 4 small cols per doc.
+    keyed = keyed.localCheckpoint(eager=False)
     a = keyed.toDF("id_a", "lo_a", "hi_a", "band", "bkey")
     b = keyed.toDF("id_b", "lo_b", "hi_b", "band", "bkey")
+    # hamming is computed and filtered BEFORE the dedup shuffle: xor +
+    # bit_count is a narrow codegen expression, and almost all band
+    # collisions fail the hamming cut, so the distinct() shuffle carries
+    # only the (rare) surviving near-dup pairs instead of every collision
+    # with six 64-bit payload columns. Same result set — hamming is a
+    # pure function of the pair, identical in every colliding band.
     return (
         a.join(b, ["band", "bkey"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
-        .distinct()
         .withColumn(
             "hamming",
             (F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
@@ -241,4 +259,5 @@ def simhash_dup_pairs(df: DataFrame, text_col: str = "text",
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
