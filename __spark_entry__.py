@@ -243,6 +243,40 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.orderBy("doc_id")
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (duplicate-2-gram fraction +
+    most-common-token share) — the standard boilerplate/spam quality
+    gate for pre-training corpora. Narrow HOF projection for the 2-gram
+    ratio; explode + doc-keyed partial aggs for the token mode."""
+    from rlerrorgenerator_spark.functions.textops import repetition_features
+
+    docs = _load(spark, sf_dir, "documents")
+    return repetition_features(docs).select(
+        "doc_id", "n_tokens", "n_2grams", "n_distinct_2grams",
+        "dup_2gram_frac", "top_token_n", "top_token_frac",
+    ).orderBy("doc_id")
+
+
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON ``props`` payload
+    (get_json_object — JVM-side, codegen) and aggregate the extracted
+    field per event type. The crawl-scale shape for sidecar metadata
+    (WARC headers, fetch stats) carried as JSON strings."""
+    ev = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ------------------------------------------------------------------- dedup
 # The driver corpus has no duplicates at sf0.01, so dedup queries run on a
 # deterministically "doubled" corpus: documents ∪ (shifted-id copies, one
@@ -603,6 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow": doc_winnow,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_decontaminate": doc_decontaminate,
+        "doc_repetition": doc_repetition,
+        "events_props_stats": events_props_stats,
         "dup_exact_groups": dup_exact_groups,
         "dup_ngram_jaccard": dup_ngram_jaccard,
         "dup_minhash": dup_minhash,
@@ -1099,6 +1135,47 @@ def oracle_sql() -> dict[str, str]:
             FROM grams JOIN ev USING (g)
             WHERE source <> 'src0'
             ORDER BY doc_id
+        """,
+        "doc_repetition": """
+            WITH toks AS (
+              SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, len(w) AS n_tokens,
+                     list_transform(
+                       generate_series(1, greatest(len(w) - 1, 1)),
+                       i -> array_to_string(w[i:i+1], ' ')) AS grams
+              FROM toks
+            ),
+            gb AS (
+              SELECT doc_id, n_tokens,
+                     len(grams) AS n_2grams,
+                     len(list_distinct(grams)) AS n_distinct_2grams
+              FROM base
+            ),
+            tc AS (
+              SELECT doc_id, max(c) AS top_token_n
+              FROM (SELECT doc_id, t, count(*) AS c
+                    FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+                    GROUP BY doc_id, t)
+              GROUP BY doc_id
+            )
+            SELECT gb.doc_id, n_tokens, n_2grams, n_distinct_2grams,
+                   round((n_2grams - n_distinct_2grams) / n_2grams::DOUBLE, 6)
+                     AS dup_2gram_frac,
+                   top_token_n,
+                   round(top_token_n / greatest(n_tokens, 1)::DOUBLE, 6)
+                     AS top_token_frac
+            FROM gb JOIN tc ON gb.doc_id = tc.doc_id
+            ORDER BY gb.doc_id
+        """,
+        "events_props_stats": """
+            SELECT event_type, count(*) AS n,
+                   min(json_extract(props, '$.k')::BIGINT) AS min_k,
+                   max(json_extract(props, '$.k')::BIGINT) AS max_k,
+                   round(avg(json_extract(props, '$.k')::BIGINT), 6) AS avg_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # Streaming queries: the availableNow drain of a static source
         # must agree exactly with the batch computation.

@@ -196,6 +196,55 @@ def with_shingles(df: DataFrame, text_col, out_col: str, k: int = 5,
     ).drop("__toks__")
 
 
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1):
+    fraction of duplicate word-2-grams and the most-common-token share.
+    Boilerplate / spam / SEO pages score high on both; the standard
+    pre-training filter drops documents above a threshold.
+
+    Shape at scale: the 2-gram ratio is a pure narrow HOF projection
+    (no shuffle); the top-token share needs per-(doc, token) counts —
+    one explode + two partial-agg shuffles keyed by doc, so it
+    distributes like the inverted-index dedup ops.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    step = df.select(F.col(id_col).alias("doc_id"), c.alias("__t")).withColumn(
+        "__toks", F.split(F.col("__t"), " ")
+    )
+    n_tok = F.size("__toks")
+    n_grams = F.greatest(n_tok - F.lit(1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, 2)),
+    )
+    base = step.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.size(grams).cast("long").alias("n_2grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_2grams"),
+        F.col("__toks").alias("__toks"),
+    ).withColumn(
+        "dup_2gram_frac",
+        F.round((F.col("n_2grams") - F.col("n_distinct_2grams")).cast("double")
+                / F.col("n_2grams").cast("double"), 6),
+    )
+    tok_counts = (
+        base.select("doc_id", F.explode("__toks").alias("t"))
+        .groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("top_token_n"))
+    )
+    return (
+        base.drop("__toks")
+        .join(tok_counts, "doc_id")
+        .withColumn(
+            "top_token_frac",
+            F.round(F.col("top_token_n").cast("double")
+                    / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"), 6),
+        )
+    )
+
+
 # ------------------------------------------------------------- PII scrub
 
 EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"

@@ -252,3 +252,26 @@ def test_token_count_bpe(spark):
     # ws: 6 space-split tokens; bpe: hello , world ! v 2 . 0 has 3 bugs = 11
     assert r["ws"] == 6
     assert r["bpe"] == 11
+
+
+def test_repetition_features(spark):
+    from rlerrorgenerator_spark.functions.textops import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # all-duplicate 2-grams
+            (2, "a b c d e"),                    # all-distinct 2-grams
+            (3, "x"),                            # single token edge case
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    # doc 1: 3 2-grams, 1 distinct -> dup frac 2/3; top token 4/4
+    assert rows[1]["n_2grams"] == 3 and rows[1]["n_distinct_2grams"] == 1
+    assert abs(rows[1]["dup_2gram_frac"] - 2 / 3) < 1e-6
+    assert rows[1]["top_token_frac"] == 1.0
+    # doc 2: no repetition at all
+    assert rows[2]["dup_2gram_frac"] == 0.0
+    assert abs(rows[2]["top_token_frac"] - 0.2) < 1e-6
+    # doc 3: degenerate single token -> one pseudo-gram, no duplicates
+    assert rows[3]["n_2grams"] == 1 and rows[3]["dup_2gram_frac"] == 0.0
