@@ -144,6 +144,7 @@ def mess_data(
     n_cell_ops = sum(1 for r in ordered if r.error not in ROW_OPS)
     ts = 0
     since_ckpt = 0
+    lineage_lazy_branches = 0
     for row in ordered:
         fn = REGISTRY.get(row.error)
         if fn is None:
@@ -155,6 +156,7 @@ def mess_data(
             mgr = ckpt or CheckpointManager(spark)
             dirty = mgr.stage(dirty, f"dirty_cells_ts{ts:03d}")
             lineage = lineage.unionByName(_explode_lineage(dirty))
+            lineage_lazy_branches += 1
             dirty = dirty.drop(LINEAGE_ARRAY_COL)
             since_ckpt = 0
         amount = row.amount * amount_mult
@@ -189,6 +191,22 @@ def mess_data(
                 kwargs[key] = lookups[key]
         if row.error == "add_duplicates":
             kwargs["clean"] = clean.drop(*heavy) if heavy else clean
+        if lineage_lazy_branches and (
+            row.error == "add_duplicates"
+            or (row.error == "make_missing" and exact)
+        ):
+            # these two transforms READ the accumulated lineage (prior-error
+            # exclusion / errored-id sampling). Left lazy, that read
+            # re-derives every per-stage lineage branch (a join off each
+            # checkpointed dirty stage) — and the final lineage staging
+            # re-derives them all AGAIN. Materialize the accumulated table
+            # once right before the first consumer; the table is tiny
+            # (rows = injected errors, ~3% of the corpus) so the extra
+            # snapshot is noise while the re-derivation it kills scales
+            # with stage count × corpus size.
+            mgr = ckpt or CheckpointManager(spark)
+            lineage = mgr.stage(lineage, f"lineage_ts{ts:03d}")
+            lineage_lazy_branches = 0
         ts += 1
         dirty, ln = fn(
             dirty, lineage, n_errors, col_names,
@@ -197,6 +215,7 @@ def mess_data(
         )
         if ln is not None:
             lineage = lineage.unionByName(ln)
+            lineage_lazy_branches += 1
         if verbose:
             print(f"[mess_data] {ts:02d} {row.error} n={n_errors}")
         since_ckpt += 1
