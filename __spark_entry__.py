@@ -588,6 +588,95 @@ def er_blocking_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.candidates.groupBy("block").agg(F.count("*").alias("n")).orderBy("block")
 
 
+def _blocking_fixture(spark: SparkSession, sf_dir: str):
+    """Deterministic (clean, dirty) page pair for the ORACLE-CHECKED
+    blocking queries: urls derived from documents exactly as
+    ``pages_from_documents`` does, with an md5-selected quarter of the
+    dirty side perturbed per class — scheme typo (survives url
+    normalization), trailing slash (normalized away), and a domain typo
+    (url key breaks; only the text key recovers the pair). Both engines
+    re-derive the fixture bit-identically (md5 draw stream)."""
+    from rlerrorgenerator_spark.rng import md5_mod
+
+    docs = _load(spark, sf_dir, "documents")
+    text = F.trim(F.regexp_replace("text", r"\s+", " "))
+    pad = F.lpad(F.col("doc_id").cast("string"), 8, "0")
+    base = F.concat(F.lit("https://"), F.col("source"),
+                    F.lit(".example.com/d/"), pad)
+    sel = md5_mod("blk|", F.col("doc_id"), 4)
+    url_d = (
+        F.when(sel == 0, F.concat(F.lit("htps://"), F.col("source"),
+                                  F.lit(".example.com/d/"), pad))
+        .when(sel == 1, F.concat(base, F.lit("/")))
+        .when(sel == 2, F.concat(F.lit("https://"), F.col("source"),
+                                 F.lit(".examp1e.com/d/"), pad))
+        .otherwise(base)
+    )
+    clean = docs.select(F.lower(base).alias("url"), text.alias("text"))
+    dirty = docs.select(F.concat(F.lit("d:"), pad).alias("rid"),
+                        F.lower(url_d).alias("url"), text.alias("text"))
+    return clean, dirty
+
+
+def er_blocking_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-key blocking (url_norm + text_prefix equi-joins with the
+    per-key hot-block cap) over the md5 fixture — the full candidate
+    PAIR LIST is oracle-checked against a DuckDB re-derivation."""
+    from rlerrorgenerator_spark.linkage.blocking import exact_blocks
+
+    clean, dirty = _blocking_fixture(spark, sf_dir)
+    return (
+        exact_blocks(clean, dirty)
+        .groupBy("rid_a", "rid_b").agg(F.min("block").alias("block"))
+        .orderBy("rid_a", "rid_b")
+    )
+
+
+def er_scoring_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise scoring distances oracle: Levenshtein (exact integer,
+    portable) and the pandas-UDF Jaro-Winkler on the url pairs produced
+    by the url_norm block of the md5 fixture.
+
+    JW is reported only above 0.82: our JW (stringdist semantics, prefix
+    boost unconditional) and DuckDB's (standard Winkler, boost only when
+    jaro > 0.7) agree exactly iff jaro > 0.7, and jw > 0.82 ⟹
+    jaro > 0.7 on BOTH definitions (jw ≤ 0.4 + 0.6·jaro), so the gated
+    value is engine-independent; below the gate both engines emit NULL.
+    This is the operative range — the scorer's match evidence uses JW
+    thresholds ≥ 0.85 (linkage/features.py)."""
+    from rlerrorgenerator_spark.functions.similarity import jaro_winkler_udf
+    from rlerrorgenerator_spark.linkage.blocking import normalize_url
+
+    clean, dirty = _blocking_fixture(spark, sf_dir)
+    a = clean.select(F.col("url").alias("rid_a"),
+                     normalize_url("url").alias("bkey"))
+    b = dirty.select(F.col("rid").alias("rid_b"), F.col("url").alias("url_b"),
+                     normalize_url("url").alias("bkey"))
+    pairs = a.join(b, "bkey").select("rid_a", "rid_b", "url_b")
+    # jaro_winkler_udf returns the DISTANCE (1 − similarity, reference
+    # convention); the oracle compares similarities
+    jw = F.lit(1.0) - jaro_winkler_udf(F.col("rid_a"), F.col("url_b"))
+    return pairs.select(
+        "rid_a", "rid_b",
+        F.levenshtein("rid_a", "url_b").alias("lev"),
+        F.when(jw > 0.82, F.round(jw, 4)).alias("jw_gated"),
+    ).orderBy("rid_a", "rid_b")
+
+
+def er_blocking_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (distributed global rank → banded
+    self-join) over the md5 fixture, oracle-checked pair-for-pair: the
+    oracle reproduces the rank with a window function and the band join
+    as |band_a − band_b| ≤ 1 ∧ |rn_a − rn_b| ≤ window."""
+    from rlerrorgenerator_spark.linkage.blocking import sorted_neighborhood_blocks
+
+    clean, dirty = _blocking_fixture(spark, sf_dir)
+    return (
+        sorted_neighborhood_blocks(clean, dirty, window=3)
+        .orderBy("rid_a", "rid_b")
+    )
+
+
 def er_linkage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rlerrorgenerator_spark.linkage.metrics import pairwise_metrics
 
@@ -653,6 +742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "er_lineage_summary": er_lineage_summary,
         "er_blocking_candidates": er_blocking_candidates,
+        "er_blocking_exact": er_blocking_exact,
+        "er_blocking_snm": er_blocking_snm,
+        "er_scoring_distances": er_scoring_distances,
         "er_linkage_metrics": er_linkage_metrics,
         "er_cluster_sizes": er_cluster_sizes,
         **_audit_queries(),
@@ -1215,8 +1307,106 @@ def oracle_sql() -> dict[str, str]:
                          WHERE a2.user_id = agg.user_id)
             ORDER BY user_id, session_start
         """,
+        "er_blocking_exact": rf"""
+            WITH {_BLOCKING_FIXTURE_SQL},
+            a1 AS (SELECT * FROM (SELECT url AS rid_a, {_NORM_URL_SQL.format(u="url")} AS bkey FROM clean)
+                   WHERE bkey IS NOT NULL AND length(bkey) > 0),
+            b1 AS (SELECT * FROM (SELECT rid AS rid_b, {_NORM_URL_SQL.format(u="url")} AS bkey FROM dirty)
+                   WHERE bkey IS NOT NULL AND length(bkey) > 0),
+            a1c AS (SELECT * FROM a1 WHERE bkey NOT IN
+                      (SELECT bkey FROM a1 GROUP BY bkey HAVING count(*) > 100)),
+            b1c AS (SELECT * FROM b1 WHERE bkey NOT IN
+                      (SELECT bkey FROM b1 GROUP BY bkey HAVING count(*) > 100)),
+            a2 AS (SELECT * FROM (SELECT url AS rid_a,
+                          substring(regexp_replace(text, '\s+', ' ', 'g'), 1, 24) AS bkey
+                   FROM clean) WHERE bkey IS NOT NULL AND length(bkey) > 0),
+            b2 AS (SELECT * FROM (SELECT rid AS rid_b,
+                          substring(regexp_replace(text, '\s+', ' ', 'g'), 1, 24) AS bkey
+                   FROM dirty) WHERE bkey IS NOT NULL AND length(bkey) > 0),
+            a2c AS (SELECT * FROM a2 WHERE bkey NOT IN
+                      (SELECT bkey FROM a2 GROUP BY bkey HAVING count(*) > 100)),
+            b2c AS (SELECT * FROM b2 WHERE bkey NOT IN
+                      (SELECT bkey FROM b2 GROUP BY bkey HAVING count(*) > 100)),
+            p AS (
+              SELECT rid_a, rid_b, 'exact:url_norm' AS block
+              FROM a1c JOIN b1c USING (bkey)
+              UNION ALL
+              SELECT rid_a, rid_b, 'exact:text_prefix' AS block
+              FROM a2c JOIN b2c USING (bkey)
+            )
+            SELECT rid_a, rid_b, min(block) AS block
+            FROM p GROUP BY rid_a, rid_b ORDER BY rid_a, rid_b
+        """,
+        "er_scoring_distances": rf"""
+            WITH {_BLOCKING_FIXTURE_SQL},
+            a AS (SELECT url AS rid_a, {_NORM_URL_SQL.format(u="url")} AS bkey FROM clean),
+            b AS (SELECT rid AS rid_b, url AS url_b,
+                         {_NORM_URL_SQL.format(u="url")} AS bkey FROM dirty),
+            p AS (SELECT rid_a, rid_b, url_b FROM a JOIN b USING (bkey))
+            SELECT rid_a, rid_b,
+                   levenshtein(rid_a, url_b) AS lev,
+                   CASE WHEN jaro_winkler_similarity(rid_a, url_b) > 0.82
+                        THEN round(jaro_winkler_similarity(rid_a, url_b), 4)
+                   END AS jw_gated
+            FROM p ORDER BY rid_a, rid_b
+        """,
+        "er_blocking_snm": rf"""
+            WITH {_BLOCKING_FIXTURE_SQL},
+            u AS (
+              SELECT url AS rid, {_NORM_URL_SQL.format(u="url")} AS skey,
+                     'a' AS side
+              FROM clean
+              UNION ALL
+              SELECT rid, {_NORM_URL_SQL.format(u="url")} AS skey, 'b' AS side
+              FROM dirty
+            ),
+            r AS (SELECT rid, side,
+                         row_number() OVER (ORDER BY skey, side, rid) AS rn,
+                         CAST(floor(row_number() OVER (ORDER BY skey, side, rid)
+                                    / 3.0) AS BIGINT) AS band
+                  FROM u)
+            SELECT DISTINCT la.rid AS rid_a, rb.rid AS rid_b,
+                   'snm' AS block
+            FROM (SELECT * FROM r WHERE side = 'a') la
+            JOIN (SELECT * FROM r WHERE side = 'b') rb
+              ON rb.band BETWEEN la.band - 1 AND la.band + 1
+             AND abs(la.rn - rb.rn) <= 3
+            ORDER BY rid_a, rid_b
+        """,
         **_er_oracle_sql_entries(),
     }
+
+
+# normalize_url re-expressed in DuckDB (blocking.py::normalize_url)
+_NORM_URL_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(lower({u}), "
+    "'^[a-z0-9]{{2,8}}://', ''), '^www\\.', ''), '/$', '')"
+)
+
+# the md5 fixture of _blocking_fixture, re-derived in SQL: same urls as
+# pages_from_documents, same md5('blk|' || doc_id) % 4 perturbation class
+_BLOCKING_FIXTURE_SQL = """
+            clean AS (
+              SELECT lower('https://' || source || '.example.com/d/'
+                           || lpad(doc_id::VARCHAR, 8, '0')) AS url,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+              FROM documents
+            ),
+            dirty AS (
+              SELECT 'd:' || lpad(doc_id::VARCHAR, 8, '0') AS rid,
+                     lower(CASE (('0x' || substring(md5('blk|' || doc_id::VARCHAR), 17, 16))::UBIGINT % 4)::INT
+                       WHEN 0 THEN 'htps://' || source || '.example.com/d/'
+                                   || lpad(doc_id::VARCHAR, 8, '0')
+                       WHEN 1 THEN 'https://' || source || '.example.com/d/'
+                                   || lpad(doc_id::VARCHAR, 8, '0') || '/'
+                       WHEN 2 THEN 'https://' || source || '.examp1e.com/d/'
+                                   || lpad(doc_id::VARCHAR, 8, '0')
+                       ELSE 'https://' || source || '.example.com/d/'
+                            || lpad(doc_id::VARCHAR, 8, '0')
+                     END) AS url,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+              FROM documents
+            )"""
 
 
 def _er_oracle_sql_entries() -> dict[str, str]:

@@ -239,8 +239,25 @@ def main() -> None:
         # regardless of whether the 0.8 gate is already met, alternating
         # legs so both see the same contention epochs.
         rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+        max_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_ROUNDS", "3"))
         los, his = [], []
         for _ in range(rounds):
+            lo = _run_er_subprocess(sf_dir, n_small, scaling_rows, sp)
+            los.append(round(lo["pairs_per_sec"], 1))
+            hi = _run_er_subprocess(sf_dir, n_big, scaling_rows, sp)
+            his.append(round(hi["pairs_per_sec"], 1))
+
+        # Dispersion escalation — SYMMETRIC and GATE-AGNOSTIC: when the
+        # attempts of EITHER leg disagree by > 20% (a contended host
+        # window), run one more alternating round on BOTH legs, up to
+        # max_rounds. The trigger reads only intra-leg spread, never the
+        # efficiency value, so it cannot bias toward the 0.8 target; the
+        # statistic stays best-of-N with the SAME N on both legs.
+        def _spread(xs):
+            return (max(xs) - min(xs)) / max(xs) if max(xs) else 0.0
+
+        while (len(los) < max_rounds
+               and (_spread(los) > 0.2 or _spread(his) > 0.2)):
             lo = _run_er_subprocess(sf_dir, n_small, scaling_rows, sp)
             los.append(round(lo["pairs_per_sec"], 1))
             hi = _run_er_subprocess(sf_dir, n_big, scaling_rows, sp)
