@@ -1318,10 +1318,10 @@ def oracle_sql() -> dict[str, str]:
             b1c AS (SELECT * FROM b1 WHERE bkey NOT IN
                       (SELECT bkey FROM b1 GROUP BY bkey HAVING count(*) > 100)),
             a2 AS (SELECT * FROM (SELECT url AS rid_a,
-                          substring(regexp_replace(text, '\s+', ' ', 'g'), 1, 24) AS bkey
+                          substring(regexp_replace(substring(text, 1, 1000), '\s+', ' ', 'g'), 1, 24) AS bkey
                    FROM clean) WHERE bkey IS NOT NULL AND length(bkey) > 0),
             b2 AS (SELECT * FROM (SELECT rid AS rid_b,
-                          substring(regexp_replace(text, '\s+', ' ', 'g'), 1, 24) AS bkey
+                          substring(regexp_replace(substring(text, 1, 1000), '\s+', ' ', 'g'), 1, 24) AS bkey
                    FROM dirty) WHERE bkey IS NOT NULL AND length(bkey) > 0),
             a2c AS (SELECT * FROM a2 WHERE bkey NOT IN
                       (SELECT bkey FROM a2 GROUP BY bkey HAVING count(*) > 100)),
