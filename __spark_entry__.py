@@ -663,6 +663,32 @@ def er_scoring_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rid_a", "rid_b")
 
 
+def er_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental linkage oracle (linkage/incremental.py): dirty rows
+    are split into two batches by doc-id parity; batch 1 is clustered,
+    batch 2 is folded in via increment_clusters (CC seeded with the
+    prior labels as star edges). The DuckDB oracle computes the
+    MONOLITHIC clustering over all edges with a recursive CTE — so a
+    green row proves both engines' CC labels agree AND that the
+    incremental fold is exactly equivalent to full recomputation."""
+    from rlerrorgenerator_spark.linkage.blocking import exact_blocks
+    from rlerrorgenerator_spark.linkage.incremental import increment_clusters
+    from rlerrorgenerator_spark.linkage.resolve import clusters_from_links
+
+    clean, dirty = _blocking_fixture(spark, sf_dir)
+    parity = F.substring("rid", -1, 1).cast("int") % 2
+    b1 = dirty.where(parity == 0)
+    b2 = dirty.where(parity == 1)
+    e1 = exact_blocks(clean, b1).select("rid_a", "rid_b").distinct()
+    ids1 = clean.select(F.col("url").alias("id")).unionByName(
+        b1.select(F.col("rid").alias("id")))
+    prior = clusters_from_links(e1, ids1)
+    e2 = exact_blocks(clean, b2).select("rid_a", "rid_b").distinct()
+    ids2 = clean.select(F.col("url").alias("id")).unionByName(
+        b2.select(F.col("rid").alias("id")))
+    return increment_clusters(e2, prior, ids2).orderBy("id")
+
+
 def er_blocking_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (distributed global rank → banded
     self-join) over the md5 fixture, oracle-checked pair-for-pair: the
@@ -745,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocking_exact": er_blocking_exact,
         "er_blocking_snm": er_blocking_snm,
         "er_scoring_distances": er_scoring_distances,
+        "er_incremental_clusters": er_incremental_clusters,
         "er_linkage_metrics": er_linkage_metrics,
         "er_cluster_sizes": er_cluster_sizes,
         **_audit_queries(),
@@ -1336,6 +1363,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rid_a, rid_b, min(block) AS block
             FROM p GROUP BY rid_a, rid_b ORDER BY rid_a, rid_b
+        """,
+        # incremental == monolithic: the oracle recomputes the FULL
+        # clustering (recursive-CTE label propagation over all edges)
+        # while the Spark query folds batch 2 into batch 1's clusters.
+        "er_incremental_clusters": rf"""
+            WITH RECURSIVE {_BLOCKING_FIXTURE_SQL},
+            a1 AS (SELECT * FROM (SELECT url AS rid_a, {_NORM_URL_SQL.format(u="url")} AS bkey FROM clean)
+                   WHERE bkey IS NOT NULL AND length(bkey) > 0),
+            b1 AS (SELECT * FROM (SELECT rid AS rid_b, {_NORM_URL_SQL.format(u="url")} AS bkey FROM dirty)
+                   WHERE bkey IS NOT NULL AND length(bkey) > 0),
+            a1c AS (SELECT * FROM a1 WHERE bkey NOT IN
+                      (SELECT bkey FROM a1 GROUP BY bkey HAVING count(*) > 100)),
+            b1c AS (SELECT * FROM b1 WHERE bkey NOT IN
+                      (SELECT bkey FROM b1 GROUP BY bkey HAVING count(*) > 100)),
+            a2 AS (SELECT * FROM (SELECT url AS rid_a,
+                          substring(regexp_replace(substring(text, 1, 1000), '\s+', ' ', 'g'), 1, 24) AS bkey
+                   FROM clean) WHERE bkey IS NOT NULL AND length(bkey) > 0),
+            b2 AS (SELECT * FROM (SELECT rid AS rid_b,
+                          substring(regexp_replace(substring(text, 1, 1000), '\s+', ' ', 'g'), 1, 24) AS bkey
+                   FROM dirty) WHERE bkey IS NOT NULL AND length(bkey) > 0),
+            a2c AS (SELECT * FROM a2 WHERE bkey NOT IN
+                      (SELECT bkey FROM a2 GROUP BY bkey HAVING count(*) > 100)),
+            b2c AS (SELECT * FROM b2 WHERE bkey NOT IN
+                      (SELECT bkey FROM b2 GROUP BY bkey HAVING count(*) > 100)),
+            p AS (
+              SELECT DISTINCT rid_a, rid_b FROM (
+                SELECT rid_a, rid_b FROM a1c JOIN b1c USING (bkey)
+                UNION ALL
+                SELECT rid_a, rid_b FROM a2c JOIN b2c USING (bkey)
+              )
+            ),
+            edges AS (
+              SELECT rid_a AS a, rid_b AS b FROM p
+              UNION
+              SELECT rid_b, rid_a FROM p
+            ),
+            reach(id, lbl) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+            ),
+            comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+            ids AS (
+              SELECT url AS id FROM clean
+              UNION
+              SELECT rid FROM dirty
+            )
+            SELECT ids.id, coalesce(comp.lbl, ids.id) AS cluster_id
+            FROM ids LEFT JOIN comp ON comp.id = ids.id
+            ORDER BY ids.id
         """,
         "er_scoring_distances": rf"""
             WITH {_BLOCKING_FIXTURE_SQL},

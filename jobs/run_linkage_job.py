@@ -43,6 +43,15 @@ def main() -> None:
     ap.add_argument("--output", default=None)
     ap.add_argument("--error-rate", type=float, default=None,
                     help="calibrate injected error rate to this id coverage")
+    ap.add_argument("--increment-input", default=None,
+                    help="parquet of a NEW dirty batch (rid, url, text, "
+                         "lang, warc_ts): block+score it against the clean "
+                         "table only and fold the accepted edges into "
+                         "--prior-clusters (exact equivalent of a full "
+                         "relink, O(batch) scoring instead of O(corpus))")
+    ap.add_argument("--prior-clusters", default=None,
+                    help="parquet (id, cluster_id) written by a previous "
+                         "run; omit for a first increment from empty")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -62,6 +71,34 @@ def main() -> None:
         pages = synth_pages(spark, args.n_rows, seed=args.seed)
     else:
         ap.error("one of --input / --documents / --n-rows required")
+
+    if args.increment_input:
+        from pyspark.sql import functions as F
+
+        from rlerrorgenerator_spark.linkage.incremental import link_increment
+        from rlerrorgenerator_spark.sources.pages import prep_pages
+
+        clean = prep_pages(pages).drop("html").localCheckpoint(eager=True)
+        new_dirty = spark.read.parquet(args.increment_input)
+        if args.prior_clusters:
+            prior = spark.read.parquet(args.prior_clusters)
+        else:
+            prior = spark.createDataFrame([], "id string, cluster_id string")
+        t0 = time.time()
+        updated = link_increment(clean, new_dirty, prior)
+        n_ids = updated.count()
+        n_clusters = updated.select("cluster_id").distinct().count()
+        print(json.dumps({
+            "mode": "increment",
+            "batch_rows": new_dirty.count(),
+            "ids": n_ids,
+            "clusters": n_clusters,
+            "elapsed_sec": time.time() - t0,
+        }))
+        if args.output:
+            updated.write.mode("overwrite").parquet(
+                os.path.join(args.output, "clusters"))
+        return
 
     amount_mult = 1.0
     if args.error_rate is not None:

@@ -83,9 +83,20 @@ def attach_pair_attrs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame)
         # ``shs_*`` flag records which form shipped so add_features can
         # symmetrize mixed full-vs-sampled pairs at the 32 boundary.
         use_sample = F.size(hashed) >= 32
+        # ship 32-bit shingle hashes through the pair shuffle: the arrays
+        # are the dominant scoring-shuffle payload and truncating 64→32
+        # bits halves those bytes; at ≤ ~400 shingles/doc the extra
+        # collision probability is ~n²/2³³ ≈ 2e-5 — invisible next to the
+        # 1-in-4 sampling variance the Jaccard estimate already carries.
+        # shiftright(…, 32) keeps the (uniform) high word and always fits
+        # int, so the cast cannot throw under ANSI. The 1-in-4 subsample
+        # keys off the TRUNCATED value so add_features' mixed-pair
+        # symmetrization (pmod over the shipped ints) selects exactly the
+        # same elements the row-side filter kept.
+        hashed32 = F.transform(hashed, lambda h: F.shiftright(h, 32).cast("int"))
         hashed_out = F.when(
-            use_sample, F.filter(hashed, lambda h: F.pmod(h, F.lit(4)) == 0)
-        ).otherwise(hashed)
+            use_sample, F.filter(hashed32, lambda h: F.pmod(h, F.lit(4)) == 0)
+        ).otherwise(hashed32)
         return step.select(
             F.col(key_col).alias(f"rid_{alias}"),
             *[F.col(c).alias(f"{c}_{alias}") for c in PAIR_COLS],

@@ -152,7 +152,11 @@ def clusters_from_links(links: DataFrame, all_ids: DataFrame | None = None) -> D
     edges = links.select(F.col("rid_a").alias("src"), F.col("rid_b").alias("dst"))
     comp = connected_components(edges)
     if all_ids is not None:
-        ids = all_ids.toDF("id")
+        # dedup: callers union id universes that overlap (pages rids ARE
+        # clean urls for in-place rows), and a duplicated id would emit
+        # its cluster row once per occurrence — at crawl scale a clusters
+        # table ~2x bigger than the id universe
+        ids = all_ids.toDF("id").distinct()
         comp = ids.join(comp, "id", "left").select(
             "id", F.coalesce("component", F.col("id")).alias("component")
         )

@@ -249,7 +249,13 @@ def mess_data(
     # and the row-op tail is a few shallow ops over checkpointed parents;
     # re-materializing the whole table would double the memory-write cost
     # of injection for no plan-depth benefit.
-    lineage = mgr.stage(lineage, "lineage_final")
+    if exact or durable:
+        lineage = mgr.stage(lineage, "lineage_final")
+    # else: volatile Bernoulli lineage is the staged lineage_ts table
+    # plus at most two shallow row-op branches — every consumer
+    # (label_pairs, audits) re-derives those branches in one cheap pass
+    # off materialized parents; a second full staging measured 5.7s at
+    # 4 cores for zero plan-depth benefit.
     return dirty, lineage
 
 
