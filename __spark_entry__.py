@@ -612,9 +612,13 @@ def _blocking_fixture(spark: SparkSession, sf_dir: str):
                                  F.lit(".examp1e.com/d/"), pad))
         .otherwise(base)
     )
-    clean = docs.select(F.lower(base).alias("url"), text.alias("text"))
+    ts = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") % 31536000)
+    clean = docs.select(F.lower(base).alias("url"), text.alias("text"),
+                        F.col("lang"), ts.alias("warc_ts"))
     dirty = docs.select(F.concat(F.lit("d:"), pad).alias("rid"),
-                        F.lower(url_d).alias("url"), text.alias("text"))
+                        F.lower(url_d).alias("url"), text.alias("text"),
+                        F.col("lang"), ts.alias("warc_ts"),
+                        F.lower(base).alias("orig_url"))
     return clean, dirty
 
 
@@ -687,6 +691,39 @@ def er_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids2 = clean.select(F.col("url").alias("id")).unionByName(
         b2.select(F.col("rid").alias("id")))
     return increment_clusters(e2, prior, ids2).orderBy("id")
+
+
+def er_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pipeline oracle: the REAL operators — build_candidates
+    (exact ∪ SNM; MinHash off, its xxhash signatures aren't
+    SQL-portable), the REAL score_pairs (exact-shingle verification
+    mode: full 64-bit shingle sets → exact Jaccard), the REAL
+    label_pairs + pairwise_metrics — over the md5 fixture, against a
+    DuckDB re-derivation of the ENTIRE flow: blocking joins, every
+    scoring feature (Levenshtein forms, prefix/swap similarities, exact
+    word-4-shingle Jaccard, lang/ts evidence), the weighted gated score,
+    the 0.5 decision, lineage truth and the confusion-matrix metrics.
+    A green row certifies the flagship pipeline's decisions pair-for-pair
+    in an independent engine — not just its components."""
+    from rlerrorgenerator_spark.linkage.blocking import build_candidates
+    from rlerrorgenerator_spark.linkage.features import score_pairs
+    from rlerrorgenerator_spark.linkage.metrics import label_pairs, pairwise_metrics
+
+    clean, dirty = _blocking_fixture(spark, sf_dir)
+    candidates = build_candidates(clean, dirty, use_minhash=False)
+    scored = score_pairs(candidates, clean, dirty, exact_shingles=True)
+    labeled = label_pairs(scored, dirty)
+    m = pairwise_metrics(labeled)
+    return m.select(
+        "tp", "fp", "fn", "tn", "n_pairs",
+        F.round("brier", 6).alias("brier"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("specificity", 6).alias("specificity"),
+        F.round("npv", 6).alias("npv"),
+    )
 
 
 def er_blocking_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -772,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocking_snm": er_blocking_snm,
         "er_scoring_distances": er_scoring_distances,
         "er_incremental_clusters": er_incremental_clusters,
+        "er_pipeline_e2e": er_pipeline_e2e,
         "er_linkage_metrics": er_linkage_metrics,
         "er_cluster_sizes": er_cluster_sizes,
         **_audit_queries(),
@@ -1207,11 +1245,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # er_op_* oracles: each §2.A transform re-derived end-to-end in
         # DuckDB (md5 draw streams; rlerrorgenerator_spark/oracle_er.py).
-        # Remaining rows-only entries per the driver contract: the
-        # er_pipeline family + er_op_calibration + er_audit_violations
-        # (iterative seeded-RNG programs), and ann_ivf_topk (iterative
-        # float k-means no independent engine reproduces bit-identically —
-        # the query row itself carries the recall evidence).
+        # The pipeline itself is oracle-checked end-to-end by
+        # er_pipeline_e2e above (blocking → scoring → decisions →
+        # metrics over the md5 fixture). Remaining rows-only entries per
+        # the driver contract: the xxhash exact-k er_pipeline runs
+        # (er_lineage_summary/er_blocking_candidates/er_linkage_metrics/
+        # er_cluster_sizes) + er_op_calibration + er_audit_violations
+        # (iterative seeded-RNG programs), ann_ivf_topk (iterative float
+        # k-means no independent engine reproduces bit-identically — the
+        # query row itself carries the recall evidence), and mm_features
+        # (no SQL engine decodes the binaries).
         "doc_pii_scrub": r"""
             WITH base AS (
               SELECT doc_id, substring(text, 1, 160) AS text,
@@ -1364,6 +1407,131 @@ def oracle_sql() -> dict[str, str]:
             SELECT rid_a, rid_b, min(block) AS block
             FROM p GROUP BY rid_a, rid_b ORDER BY rid_a, rid_b
         """,
+        # the flagship pipeline, end-to-end: blocking (exact ∪ SNM) →
+        # every scoring feature → gated weighted score → 0.5 decision →
+        # lineage truth → confusion-matrix metrics, all re-derived in
+        # DuckDB. exact-shingle mode makes the Spark Jaccard equal the
+        # SQL string-shingle Jaccard; every other feature is integer or
+        # fixed-order double arithmetic, so per-pair probabilities are
+        # bit-identical and the decision set matches pair-for-pair.
+        "er_pipeline_e2e": rf"""
+            WITH {_BLOCKING_FIXTURE_SQL},
+            a1 AS (SELECT * FROM (SELECT url AS rid_a, {_NORM_URL_SQL.format(u="url")} AS bkey FROM clean)
+                   WHERE bkey IS NOT NULL AND length(bkey) > 0),
+            b1 AS (SELECT * FROM (SELECT rid AS rid_b, {_NORM_URL_SQL.format(u="url")} AS bkey FROM dirty)
+                   WHERE bkey IS NOT NULL AND length(bkey) > 0),
+            a1c AS (SELECT * FROM a1 WHERE bkey NOT IN
+                      (SELECT bkey FROM a1 GROUP BY bkey HAVING count(*) > 100)),
+            b1c AS (SELECT * FROM b1 WHERE bkey NOT IN
+                      (SELECT bkey FROM b1 GROUP BY bkey HAVING count(*) > 100)),
+            a2 AS (SELECT * FROM (SELECT url AS rid_a,
+                          substring(regexp_replace(substring(text, 1, 1000), '\s+', ' ', 'g'), 1, 24) AS bkey
+                   FROM clean) WHERE bkey IS NOT NULL AND length(bkey) > 0),
+            b2 AS (SELECT * FROM (SELECT rid AS rid_b,
+                          substring(regexp_replace(substring(text, 1, 1000), '\s+', ' ', 'g'), 1, 24) AS bkey
+                   FROM dirty) WHERE bkey IS NOT NULL AND length(bkey) > 0),
+            a2c AS (SELECT * FROM a2 WHERE bkey NOT IN
+                      (SELECT bkey FROM a2 GROUP BY bkey HAVING count(*) > 100)),
+            b2c AS (SELECT * FROM b2 WHERE bkey NOT IN
+                      (SELECT bkey FROM b2 GROUP BY bkey HAVING count(*) > 100)),
+            u AS (
+              SELECT url AS rid, {_NORM_URL_SQL.format(u="url")} AS skey, 'a' AS side FROM clean
+              UNION ALL
+              SELECT rid, {_NORM_URL_SQL.format(u="url")} AS skey, 'b' AS side FROM dirty
+            ),
+            r AS (SELECT rid, side,
+                         row_number() OVER (ORDER BY skey, side, rid) AS rn,
+                         CAST(floor(row_number() OVER (ORDER BY skey, side, rid) / 3.0) AS BIGINT) AS band
+                  FROM u),
+            cand AS (
+              SELECT DISTINCT rid_a, rid_b FROM (
+                SELECT rid_a, rid_b FROM a1c JOIN b1c USING (bkey)
+                UNION ALL
+                SELECT rid_a, rid_b FROM a2c JOIN b2c USING (bkey)
+                UNION ALL
+                SELECT la.rid AS rid_a, rb.rid AS rid_b
+                FROM (SELECT * FROM r WHERE side = 'a') la
+                JOIN (SELECT * FROM r WHERE side = 'b') rb
+                  ON rb.band BETWEEN la.band - 1 AND la.band + 1
+                 AND abs(la.rn - rb.rn) <= 3
+              )
+            ),
+            cg AS (SELECT url AS id, unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(string_split(text, ' ')) - 3, 1)),
+                     i -> array_to_string((string_split(text, ' '))[i:i+3], ' ')))) AS g
+                   FROM clean),
+            dg AS (SELECT rid AS id, unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(string_split(text, ' ')) - 3, 1)),
+                     i -> array_to_string((string_split(text, ' '))[i:i+3], ' ')))) AS g
+                   FROM dirty),
+            csz AS (SELECT id, count(*) AS n FROM cg GROUP BY id),
+            dsz AS (SELECT id, count(*) AS n FROM dg GROUP BY id),
+            common AS (
+              SELECT cand.rid_a, cand.rid_b, count(*) AS m
+              FROM cand
+              JOIN cg ON cg.id = cand.rid_a
+              JOIN dg ON dg.id = cand.rid_b AND dg.g = cg.g
+              GROUP BY cand.rid_a, cand.rid_b
+            ),
+            feat AS (
+              SELECT cand.rid_a, cand.rid_b,
+                     least(levenshtein({_NORM_URL_SQL.format(u="c.url")},
+                                       {_NORM_URL_SQL.format(u="d.url")}),
+                           levenshtein(lower(c.url), lower(d.url)))::DOUBLE AS lev_abs,
+                     levenshtein(substring(c.text, 1, 64), substring(d.text, 1, 64))::DOUBLE
+                       / greatest(length(substring(c.text, 1, 64)),
+                                  length(substring(d.text, 1, 64)), 1) AS text_lev,
+                     levenshtein(substring(c.text, 1, 64),
+                                 substring(coalesce(d.lang, ''), 1, 64))::DOUBLE
+                       / greatest(length(substring(c.text, 1, 64)),
+                                  length(substring(coalesce(d.lang, ''), 1, 64)), 1) AS swap_lev,
+                     CASE WHEN (csz.n + dsz.n - coalesce(common.m, 0)) > 0
+                          THEN coalesce(common.m, 0)::DOUBLE
+                               / (csz.n + dsz.n - coalesce(common.m, 0))
+                          ELSE 0.0 END AS jac,
+                     CASE WHEN c.lang IS NULL OR d.lang IS NULL THEN 0.5
+                          WHEN c.lang = d.lang THEN 1.0 ELSE 0.0 END AS lang_eq,
+                     (substring(cand.rid_b, 3) = right(cand.rid_a, 8)) AS label
+              FROM cand
+              JOIN clean c ON c.url = cand.rid_a
+              JOIN dirty d ON d.rid = cand.rid_b
+              LEFT JOIN common ON common.rid_a = cand.rid_a AND common.rid_b = cand.rid_b
+              JOIN csz ON csz.id = cand.rid_a
+              JOIN dsz ON dsz.id = cand.rid_b
+            ),
+            prob AS (
+              SELECT label,
+                     (CASE WHEN lev_abs <= 2 THEN 1.0 ELSE 0.0 END)
+                     * (0.45 * greatest(0.0, 1.0 - lev_abs / 3.0)
+                        + 0.45 * greatest(
+                            CASE WHEN text_lev <= 0.25 THEN 1.0 - text_lev ELSE 0.0 END,
+                            CASE WHEN jac >= 0.5 THEN jac ELSE 0.0 END,
+                            CASE WHEN swap_lev <= 0.25 THEN 1.0 - swap_lev ELSE 0.0 END)
+                        + 0.05 * lang_eq
+                        + 0.05 * 1.0) AS p
+              FROM feat
+            ),
+            agg AS (
+              SELECT sum(CASE WHEN p > 0.5 AND label THEN 1 ELSE 0 END)::BIGINT AS tp,
+                     sum(CASE WHEN p > 0.5 AND NOT label THEN 1 ELSE 0 END)::BIGINT AS fp,
+                     sum(CASE WHEN p <= 0.5 AND label THEN 1 ELSE 0 END)::BIGINT AS fn,
+                     sum(CASE WHEN p <= 0.5 AND NOT label THEN 1 ELSE 0 END)::BIGINT AS tn,
+                     count(*)::BIGINT AS n_pairs,
+                     avg(pow(least(greatest(p, 0.0), 1.0)
+                             - (CASE WHEN label THEN 1.0 ELSE 0.0 END), 2)) AS brier
+              FROM prob
+            )
+            SELECT tp, fp, fn, tn, n_pairs,
+                   round(brier, 6) AS brier,
+                   round(tp / greatest(tp + fp, 1), 6) AS precision,
+                   round(tp / greatest(tp + fn, 1), 6) AS recall,
+                   round(2 * (tp / greatest(tp + fp, 1)) * (tp / greatest(tp + fn, 1))
+                         / greatest((tp / greatest(tp + fp, 1)) + (tp / greatest(tp + fn, 1)), 1e-12), 6) AS f1,
+                   round((tp + tn) / greatest(tp + tn + fp + fn, 1), 6) AS accuracy,
+                   round(tn / greatest(tn + fp, 1), 6) AS specificity,
+                   round(tn / greatest(tn + fn, 1), 6) AS npv
+            FROM agg
+        """,
         # incremental == monolithic: the oracle recomputes the FULL
         # clustering (recursive-CTE label propagation over all edges)
         # while the Spark query folds batch 2 into batch 1's clusters.
@@ -1466,7 +1634,8 @@ _BLOCKING_FIXTURE_SQL = """
             clean AS (
               SELECT lower('https://' || source || '.example.com/d/'
                            || lpad(doc_id::VARCHAR, 8, '0')) AS url,
-                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text,
+                     lang
               FROM documents
             ),
             dirty AS (
@@ -1481,7 +1650,8 @@ _BLOCKING_FIXTURE_SQL = """
                        ELSE 'https://' || source || '.example.com/d/'
                             || lpad(doc_id::VARCHAR, 8, '0')
                      END) AS url,
-                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text,
+                     lang
               FROM documents
             )"""
 

@@ -34,7 +34,8 @@ PAIR_COLS = ["url", "lang", "warc_ts"]
 TEXT_PREFIX = 64
 
 
-def attach_pair_attrs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame) -> DataFrame:
+def attach_pair_attrs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame,
+                      exact_shingles: bool = False) -> DataFrame:
     """Widen (rid_a, rid_b) with _a/_b suffixed attributes — the
     reference's ``attach_dbs_to_ids`` (`utils.R:152-162`).
 
@@ -82,6 +83,21 @@ def attach_pair_attrs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame)
         # saving is noise anyway, so exact Jaccard costs nothing. A
         # ``shs_*`` flag records which form shipped so add_features can
         # symmetrize mixed full-vs-sampled pairs at the 32 boundary.
+        if exact_shingles:
+            # verification mode (the cross-engine e2e oracle): full
+            # 64-bit shingle-hash sets, no subsample, no truncation —
+            # |intersect|/|union| equals the exact string-shingle Jaccard
+            # an independent engine computes (modulo ~2⁻⁶⁴ collisions)
+            use_sample = F.lit(False)
+            hashed_out = hashed
+            return step.select(
+                F.col(key_col).alias(f"rid_{alias}"),
+                *[F.col(c).alias(f"{c}_{alias}") for c in PAIR_COLS],
+                F.substring(F.coalesce("text", F.lit("")), 1, TEXT_PREFIX).alias(f"tp_{alias}"),
+                F.length(F.coalesce("text", F.lit(""))).alias(f"tlen_{alias}"),
+                hashed_out.alias(f"sh_{alias}"),
+                use_sample.alias(f"shs_{alias}"),
+            )
         use_sample = F.size(hashed) >= 32
         # ship 32-bit shingle hashes through the pair shuffle: the arrays
         # are the dominant scoring-shuffle payload and truncating 64→32
@@ -230,9 +246,13 @@ def add_match_prob(feat: DataFrame) -> DataFrame:
     )
 
 
-def score_pairs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame) -> DataFrame:
+def score_pairs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame,
+                exact_shingles: bool = False) -> DataFrame:
     """candidates (rid_a, rid_b, block) → scored pairs with metric_* +
     match_prob + prediction. Heavy payload columns (texts, shingle arrays)
-    are dropped from the output — the scored table checkpoints lean."""
-    out = add_match_prob(add_features(attach_pair_attrs(candidates, clean, dirty)))
+    are dropped from the output — the scored table checkpoints lean.
+    ``exact_shingles=True`` scores with full unsampled shingle sets
+    (exact Jaccard; the cross-engine verification mode)."""
+    out = add_match_prob(add_features(
+        attach_pair_attrs(candidates, clean, dirty, exact_shingles)))
     return out.drop("sh_a", "sh_b", "shs_a", "shs_b", "tp_a", "tp_b")
