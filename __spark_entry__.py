@@ -21,6 +21,7 @@ in both engines (see rlerrorgenerator_spark/plans/dedup.py::_md5_u64).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -726,6 +727,42 @@ def er_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def er_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming incremental linkage, oracle-checked: the md5
+    fixture's dirty rows arrive as a file stream (2 parquet drops, one
+    micro-batch each via maxFilesPerTrigger=1), each micro-batch folds
+    through the REAL blocking + scoring + seeded-CC pipeline
+    (streaming/linkage_stream.py), and the final clusters table is
+    compared against a DuckDB MONOLITHIC re-derivation: the full e2e
+    score (er_pipeline_e2e's SQL), accepted pairs at p > 0.5, recursive-
+    CTE components, min-id labels. Green ⟹ the streaming fold equals
+    batch relinkage pair-for-pair in an independent engine."""
+    import shutil
+    import tempfile
+
+    from rlerrorgenerator_spark.streaming.linkage_stream import stream_link_increment
+
+    clean, dirty = _blocking_fixture(spark, sf_dir)
+    base = os.path.join(tempfile.gettempdir(),
+                        "er_stream_inc_" + sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = os.path.join(base, "in")
+    clusters_dir = os.path.join(base, "clusters")
+    parity = F.substring("rid", -1, 1).cast("int") % 2
+    dirty.where(parity == 0).coalesce(1).write.mode("append").parquet(in_dir)
+    dirty.where(parity == 1).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(dirty.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = stream_link_increment(clean, stream, clusters_dir,
+                              os.path.join(base, "ckpt"),
+                              use_minhash=False, exact_shingles=True)
+    q.awaitTermination(600)
+    return spark.read.parquet(clusters_dir).orderBy("id")
+
+
 def er_blocking_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (distributed global rank → banded
     self-join) over the md5 fixture, oracle-checked pair-for-pair: the
@@ -810,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_scoring_distances": er_scoring_distances,
         "er_incremental_clusters": er_incremental_clusters,
         "er_pipeline_e2e": er_pipeline_e2e,
+        "er_stream_incremental": er_stream_incremental,
         "er_linkage_metrics": er_linkage_metrics,
         "er_cluster_sizes": er_cluster_sizes,
         **_audit_queries(),
@@ -1415,102 +1453,7 @@ def oracle_sql() -> dict[str, str]:
         # fixed-order double arithmetic, so per-pair probabilities are
         # bit-identical and the decision set matches pair-for-pair.
         "er_pipeline_e2e": rf"""
-            WITH {_BLOCKING_FIXTURE_SQL},
-            a1 AS (SELECT * FROM (SELECT url AS rid_a, {_NORM_URL_SQL.format(u="url")} AS bkey FROM clean)
-                   WHERE bkey IS NOT NULL AND length(bkey) > 0),
-            b1 AS (SELECT * FROM (SELECT rid AS rid_b, {_NORM_URL_SQL.format(u="url")} AS bkey FROM dirty)
-                   WHERE bkey IS NOT NULL AND length(bkey) > 0),
-            a1c AS (SELECT * FROM a1 WHERE bkey NOT IN
-                      (SELECT bkey FROM a1 GROUP BY bkey HAVING count(*) > 100)),
-            b1c AS (SELECT * FROM b1 WHERE bkey NOT IN
-                      (SELECT bkey FROM b1 GROUP BY bkey HAVING count(*) > 100)),
-            a2 AS (SELECT * FROM (SELECT url AS rid_a,
-                          substring(regexp_replace(substring(text, 1, 1000), '\s+', ' ', 'g'), 1, 24) AS bkey
-                   FROM clean) WHERE bkey IS NOT NULL AND length(bkey) > 0),
-            b2 AS (SELECT * FROM (SELECT rid AS rid_b,
-                          substring(regexp_replace(substring(text, 1, 1000), '\s+', ' ', 'g'), 1, 24) AS bkey
-                   FROM dirty) WHERE bkey IS NOT NULL AND length(bkey) > 0),
-            a2c AS (SELECT * FROM a2 WHERE bkey NOT IN
-                      (SELECT bkey FROM a2 GROUP BY bkey HAVING count(*) > 100)),
-            b2c AS (SELECT * FROM b2 WHERE bkey NOT IN
-                      (SELECT bkey FROM b2 GROUP BY bkey HAVING count(*) > 100)),
-            u AS (
-              SELECT url AS rid, {_NORM_URL_SQL.format(u="url")} AS skey, 'a' AS side FROM clean
-              UNION ALL
-              SELECT rid, {_NORM_URL_SQL.format(u="url")} AS skey, 'b' AS side FROM dirty
-            ),
-            r AS (SELECT rid, side,
-                         row_number() OVER (ORDER BY skey, side, rid) AS rn,
-                         CAST(floor(row_number() OVER (ORDER BY skey, side, rid) / 3.0) AS BIGINT) AS band
-                  FROM u),
-            cand AS (
-              SELECT DISTINCT rid_a, rid_b FROM (
-                SELECT rid_a, rid_b FROM a1c JOIN b1c USING (bkey)
-                UNION ALL
-                SELECT rid_a, rid_b FROM a2c JOIN b2c USING (bkey)
-                UNION ALL
-                SELECT la.rid AS rid_a, rb.rid AS rid_b
-                FROM (SELECT * FROM r WHERE side = 'a') la
-                JOIN (SELECT * FROM r WHERE side = 'b') rb
-                  ON rb.band BETWEEN la.band - 1 AND la.band + 1
-                 AND abs(la.rn - rb.rn) <= 3
-              )
-            ),
-            cg AS (SELECT url AS id, unnest(list_distinct(list_transform(
-                     generate_series(1, greatest(len(string_split(text, ' ')) - 3, 1)),
-                     i -> array_to_string((string_split(text, ' '))[i:i+3], ' ')))) AS g
-                   FROM clean),
-            dg AS (SELECT rid AS id, unnest(list_distinct(list_transform(
-                     generate_series(1, greatest(len(string_split(text, ' ')) - 3, 1)),
-                     i -> array_to_string((string_split(text, ' '))[i:i+3], ' ')))) AS g
-                   FROM dirty),
-            csz AS (SELECT id, count(*) AS n FROM cg GROUP BY id),
-            dsz AS (SELECT id, count(*) AS n FROM dg GROUP BY id),
-            common AS (
-              SELECT cand.rid_a, cand.rid_b, count(*) AS m
-              FROM cand
-              JOIN cg ON cg.id = cand.rid_a
-              JOIN dg ON dg.id = cand.rid_b AND dg.g = cg.g
-              GROUP BY cand.rid_a, cand.rid_b
-            ),
-            feat AS (
-              SELECT cand.rid_a, cand.rid_b,
-                     least(levenshtein({_NORM_URL_SQL.format(u="c.url")},
-                                       {_NORM_URL_SQL.format(u="d.url")}),
-                           levenshtein(lower(c.url), lower(d.url)))::DOUBLE AS lev_abs,
-                     levenshtein(substring(c.text, 1, 64), substring(d.text, 1, 64))::DOUBLE
-                       / greatest(length(substring(c.text, 1, 64)),
-                                  length(substring(d.text, 1, 64)), 1) AS text_lev,
-                     levenshtein(substring(c.text, 1, 64),
-                                 substring(coalesce(d.lang, ''), 1, 64))::DOUBLE
-                       / greatest(length(substring(c.text, 1, 64)),
-                                  length(substring(coalesce(d.lang, ''), 1, 64)), 1) AS swap_lev,
-                     CASE WHEN (csz.n + dsz.n - coalesce(common.m, 0)) > 0
-                          THEN coalesce(common.m, 0)::DOUBLE
-                               / (csz.n + dsz.n - coalesce(common.m, 0))
-                          ELSE 0.0 END AS jac,
-                     CASE WHEN c.lang IS NULL OR d.lang IS NULL THEN 0.5
-                          WHEN c.lang = d.lang THEN 1.0 ELSE 0.0 END AS lang_eq,
-                     (substring(cand.rid_b, 3) = right(cand.rid_a, 8)) AS label
-              FROM cand
-              JOIN clean c ON c.url = cand.rid_a
-              JOIN dirty d ON d.rid = cand.rid_b
-              LEFT JOIN common ON common.rid_a = cand.rid_a AND common.rid_b = cand.rid_b
-              JOIN csz ON csz.id = cand.rid_a
-              JOIN dsz ON dsz.id = cand.rid_b
-            ),
-            prob AS (
-              SELECT label,
-                     (CASE WHEN lev_abs <= 2 THEN 1.0 ELSE 0.0 END)
-                     * (0.45 * greatest(0.0, 1.0 - lev_abs / 3.0)
-                        + 0.45 * greatest(
-                            CASE WHEN text_lev <= 0.25 THEN 1.0 - text_lev ELSE 0.0 END,
-                            CASE WHEN jac >= 0.5 THEN jac ELSE 0.0 END,
-                            CASE WHEN swap_lev <= 0.25 THEN 1.0 - swap_lev ELSE 0.0 END)
-                        + 0.05 * lang_eq
-                        + 0.05 * 1.0) AS p
-              FROM feat
-            ),
+            WITH {_e2e_prob_sql()},
             agg AS (
               SELECT sum(CASE WHEN p > 0.5 AND label THEN 1 ELSE 0 END)::BIGINT AS tp,
                      sum(CASE WHEN p > 0.5 AND NOT label THEN 1 ELSE 0 END)::BIGINT AS fp,
@@ -1531,6 +1474,33 @@ def oracle_sql() -> dict[str, str]:
                    round(tn / greatest(tn + fp, 1), 6) AS specificity,
                    round(tn / greatest(tn + fn, 1), 6) AS npv
             FROM agg
+        """,
+        # streaming fold == monolithic: the Spark side folds micro-batches
+        # through real blocking+scoring+seeded-CC; the oracle recomputes
+        # the whole thing — e2e scores, accepted pairs at p > 0.5,
+        # recursive-CTE components, min-id labels over all ids.
+        "er_stream_incremental": rf"""
+            WITH RECURSIVE {_e2e_prob_sql()},
+            acc AS (SELECT rid_a, rid_b FROM prob WHERE p > 0.5),
+            edges AS (
+              SELECT rid_a AS a, rid_b AS b FROM acc
+              UNION
+              SELECT rid_b, rid_a FROM acc
+            ),
+            reach(id, lbl) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.b, r2.lbl FROM reach r2 JOIN edges e ON e.a = r2.id
+            ),
+            comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+            ids AS (
+              SELECT url AS id FROM clean
+              UNION
+              SELECT rid FROM dirty
+            )
+            SELECT ids.id, coalesce(comp.lbl, ids.id) AS cluster_id
+            FROM ids LEFT JOIN comp ON comp.id = ids.id
+            ORDER BY ids.id
         """,
         # incremental == monolithic: the oracle recomputes the FULL
         # clustering (recursive-CTE label propagation over all edges)
@@ -1620,6 +1590,111 @@ def oracle_sql() -> dict[str, str]:
         """,
         **_er_oracle_sql_entries(),
     }
+
+
+# The full pipeline re-derivation up to per-pair (rid_a, rid_b, p,
+# label): fixture → blocking (exact url_norm + text_prefix with hot-key
+# caps, ∪ SNM banded rank join) → every scoring feature → gated weighted
+# score. Shared by the e2e metrics oracle and the streaming-fold oracle.
+# NOTE: assembled lazily inside oracle_sql() via rf-strings, so ordering
+# of these module constants only matters relative to first call.
+def _e2e_prob_sql() -> str:
+    return rf"""{_BLOCKING_FIXTURE_SQL},
+            a1 AS (SELECT * FROM (SELECT url AS rid_a, {_NORM_URL_SQL.format(u="url")} AS bkey FROM clean)
+                   WHERE bkey IS NOT NULL AND length(bkey) > 0),
+            b1 AS (SELECT * FROM (SELECT rid AS rid_b, {_NORM_URL_SQL.format(u="url")} AS bkey FROM dirty)
+                   WHERE bkey IS NOT NULL AND length(bkey) > 0),
+            a1c AS (SELECT * FROM a1 WHERE bkey NOT IN
+                      (SELECT bkey FROM a1 GROUP BY bkey HAVING count(*) > 100)),
+            b1c AS (SELECT * FROM b1 WHERE bkey NOT IN
+                      (SELECT bkey FROM b1 GROUP BY bkey HAVING count(*) > 100)),
+            a2 AS (SELECT * FROM (SELECT url AS rid_a,
+                          substring(regexp_replace(substring(text, 1, 1000), '\s+', ' ', 'g'), 1, 24) AS bkey
+                   FROM clean) WHERE bkey IS NOT NULL AND length(bkey) > 0),
+            b2 AS (SELECT * FROM (SELECT rid AS rid_b,
+                          substring(regexp_replace(substring(text, 1, 1000), '\s+', ' ', 'g'), 1, 24) AS bkey
+                   FROM dirty) WHERE bkey IS NOT NULL AND length(bkey) > 0),
+            a2c AS (SELECT * FROM a2 WHERE bkey NOT IN
+                      (SELECT bkey FROM a2 GROUP BY bkey HAVING count(*) > 100)),
+            b2c AS (SELECT * FROM b2 WHERE bkey NOT IN
+                      (SELECT bkey FROM b2 GROUP BY bkey HAVING count(*) > 100)),
+            u AS (
+              SELECT url AS rid, {_NORM_URL_SQL.format(u="url")} AS skey, 'a' AS side FROM clean
+              UNION ALL
+              SELECT rid, {_NORM_URL_SQL.format(u="url")} AS skey, 'b' AS side FROM dirty
+            ),
+            r AS (SELECT rid, side,
+                         row_number() OVER (ORDER BY skey, side, rid) AS rn,
+                         CAST(floor(row_number() OVER (ORDER BY skey, side, rid) / 3.0) AS BIGINT) AS band
+                  FROM u),
+            cand AS (
+              SELECT DISTINCT rid_a, rid_b FROM (
+                SELECT rid_a, rid_b FROM a1c JOIN b1c USING (bkey)
+                UNION ALL
+                SELECT rid_a, rid_b FROM a2c JOIN b2c USING (bkey)
+                UNION ALL
+                SELECT la.rid AS rid_a, rb.rid AS rid_b
+                FROM (SELECT * FROM r WHERE side = 'a') la
+                JOIN (SELECT * FROM r WHERE side = 'b') rb
+                  ON rb.band BETWEEN la.band - 1 AND la.band + 1
+                 AND abs(la.rn - rb.rn) <= 3
+              )
+            ),
+            cg AS (SELECT url AS id, unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(string_split(text, ' ')) - 3, 1)),
+                     i -> array_to_string((string_split(text, ' '))[i:i+3], ' ')))) AS g
+                   FROM clean),
+            dg AS (SELECT rid AS id, unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(string_split(text, ' ')) - 3, 1)),
+                     i -> array_to_string((string_split(text, ' '))[i:i+3], ' ')))) AS g
+                   FROM dirty),
+            csz AS (SELECT id, count(*) AS n FROM cg GROUP BY id),
+            dsz AS (SELECT id, count(*) AS n FROM dg GROUP BY id),
+            common AS (
+              SELECT cand.rid_a, cand.rid_b, count(*) AS m
+              FROM cand
+              JOIN cg ON cg.id = cand.rid_a
+              JOIN dg ON dg.id = cand.rid_b AND dg.g = cg.g
+              GROUP BY cand.rid_a, cand.rid_b
+            ),
+            feat AS (
+              SELECT cand.rid_a, cand.rid_b,
+                     least(levenshtein({_NORM_URL_SQL.format(u="c.url")},
+                                       {_NORM_URL_SQL.format(u="d.url")}),
+                           levenshtein(lower(c.url), lower(d.url)))::DOUBLE AS lev_abs,
+                     levenshtein(substring(c.text, 1, 64), substring(d.text, 1, 64))::DOUBLE
+                       / greatest(length(substring(c.text, 1, 64)),
+                                  length(substring(d.text, 1, 64)), 1) AS text_lev,
+                     levenshtein(substring(c.text, 1, 64),
+                                 substring(coalesce(d.lang, ''), 1, 64))::DOUBLE
+                       / greatest(length(substring(c.text, 1, 64)),
+                                  length(substring(coalesce(d.lang, ''), 1, 64)), 1) AS swap_lev,
+                     CASE WHEN (csz.n + dsz.n - coalesce(common.m, 0)) > 0
+                          THEN coalesce(common.m, 0)::DOUBLE
+                               / (csz.n + dsz.n - coalesce(common.m, 0))
+                          ELSE 0.0 END AS jac,
+                     CASE WHEN c.lang IS NULL OR d.lang IS NULL THEN 0.5
+                          WHEN c.lang = d.lang THEN 1.0 ELSE 0.0 END AS lang_eq,
+                     (substring(cand.rid_b, 3) = right(cand.rid_a, 8)) AS label
+              FROM cand
+              JOIN clean c ON c.url = cand.rid_a
+              JOIN dirty d ON d.rid = cand.rid_b
+              LEFT JOIN common ON common.rid_a = cand.rid_a AND common.rid_b = cand.rid_b
+              JOIN csz ON csz.id = cand.rid_a
+              JOIN dsz ON dsz.id = cand.rid_b
+            ),
+            prob AS (
+              SELECT rid_a, rid_b, label,
+                     (CASE WHEN lev_abs <= 2 THEN 1.0 ELSE 0.0 END)
+                     * (0.45 * greatest(0.0, 1.0 - lev_abs / 3.0)
+                        + 0.45 * greatest(
+                            CASE WHEN text_lev <= 0.25 THEN 1.0 - text_lev ELSE 0.0 END,
+                            CASE WHEN jac >= 0.5 THEN jac ELSE 0.0 END,
+                            CASE WHEN swap_lev <= 0.25 THEN 1.0 - swap_lev ELSE 0.0 END)
+                        + 0.05 * lang_eq
+                        + 0.05 * 1.0) AS p
+              FROM feat
+            )"""
 
 
 # normalize_url re-expressed in DuckDB (blocking.py::normalize_url)

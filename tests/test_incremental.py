@@ -69,6 +69,40 @@ def test_increment_from_empty_prior(spark):
     assert got == want
 
 
+def test_stream_increment_equals_full(spark, tmp_path):
+    # Structured Streaming fold: dirty rows arrive as parquet files, one
+    # micro-batch per file (maxFilesPerTrigger=1). The final clusters
+    # table must equal the monolithic relink REGARDLESS of how the file
+    # source split the rows into batches.
+    from rlerrorgenerator_spark.streaming.linkage_stream import stream_link_increment
+
+    clean = prep_pages(
+        synth_pages(spark, 400, seed=13, body_tokens=(20, 120))
+    ).localCheckpoint(eager=True)
+    dirty, _ = mess_data(clean, default_error_config(), seed=13)
+    dirty = dirty.localCheckpoint(eager=True)
+
+    input_dir = str(tmp_path / "stream_in")
+    b1 = dirty.where(F.crc32(F.col("rid")) % 2 == 0)
+    b2 = dirty.subtract(b1)
+    b1.coalesce(2).write.mode("append").parquet(input_dir)
+    b2.coalesce(2).write.mode("append").parquet(input_dir)
+
+    stream = (
+        spark.readStream.schema(dirty.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    clusters_dir = str(tmp_path / "clusters")
+    q = stream_link_increment(clean, stream, clusters_dir,
+                              str(tmp_path / "ckpt"))
+    assert q.awaitTermination(600)
+
+    got = _labels(spark.read.parquet(clusters_dir))
+    want = _labels(_full_clusters(clean, dirty))
+    assert got == want
+
+
 def test_increment_bridges_prior_clusters(spark):
     # two singleton prior clusters merged by one new edge: min-id label
     # must re-minimize over BOTH prior memberships
