@@ -200,6 +200,10 @@ def main() -> None:
         "dup_minhash", "dup_simhash", "ann_cosine_topk",
     ]
     qmap = entry_mod.queries()
+    # JVM/codegen/Arrow spin-up happens once per session; without this the
+    # first headline query absorbs ~3-4s of it and the per-query numbers
+    # aren't comparable across positions in the list
+    _warmup(spark)
     for name in headline:
         t0 = time.time()
         df = qmap[name](spark, sf_dir)
