@@ -90,14 +90,7 @@ def attach_pair_attrs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame,
             # an independent engine computes (modulo ~2⁻⁶⁴ collisions)
             use_sample = F.lit(False)
             hashed_out = hashed
-            return step.select(
-                F.col(key_col).alias(f"rid_{alias}"),
-                *[F.col(c).alias(f"{c}_{alias}") for c in PAIR_COLS],
-                F.substring(F.coalesce("text", F.lit("")), 1, TEXT_PREFIX).alias(f"tp_{alias}"),
-                F.length(F.coalesce("text", F.lit(""))).alias(f"tlen_{alias}"),
-                hashed_out.alias(f"sh_{alias}"),
-                use_sample.alias(f"shs_{alias}"),
-            )
+            return _sided_select(step, key_col, alias, hashed_out, use_sample)
         use_sample = F.size(hashed) >= 32
         # ship 32-bit shingle hashes through the pair shuffle: the arrays
         # are the dominant scoring-shuffle payload and truncating 64→32
@@ -113,18 +106,23 @@ def attach_pair_attrs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame,
         hashed_out = F.when(
             use_sample, F.filter(hashed32, lambda h: F.pmod(h, F.lit(4)) == 0)
         ).otherwise(hashed32)
-        return step.select(
-            F.col(key_col).alias(f"rid_{alias}"),
-            *[F.col(c).alias(f"{c}_{alias}") for c in PAIR_COLS],
-            F.substring(F.coalesce("text", F.lit("")), 1, TEXT_PREFIX).alias(f"tp_{alias}"),
-            F.length(F.coalesce("text", F.lit(""))).alias(f"tlen_{alias}"),
-            hashed_out.alias(f"sh_{alias}"),
-            use_sample.alias(f"shs_{alias}"),
-        )
+        return _sided_select(step, key_col, alias, hashed_out, use_sample)
 
     a = sided(clean, "url", "a")
     b = sided(dirty, "rid", "b")
     return candidates.join(a, "rid_a").join(b, "rid_b")
+
+
+def _sided_select(step: DataFrame, key_col: str, alias: str,
+                  hashed_out, use_sample) -> DataFrame:
+    return step.select(
+        F.col(key_col).alias(f"rid_{alias}"),
+        *[F.col(c).alias(f"{c}_{alias}") for c in PAIR_COLS],
+        F.substring(F.coalesce("text", F.lit("")), 1, TEXT_PREFIX).alias(f"tp_{alias}"),
+        F.length(F.coalesce("text", F.lit(""))).alias(f"tlen_{alias}"),
+        hashed_out.alias(f"sh_{alias}"),
+        use_sample.alias(f"shs_{alias}"),
+    )
 
 
 def add_features(pairs: DataFrame) -> DataFrame:
