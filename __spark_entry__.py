@@ -777,6 +777,23 @@ def er_blocking_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def er_blocking_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH blocking over the md5 fixture — the full candidate
+    pair list (with per-pair agreeing-band counts) oracle-checked against
+    a DuckDB re-derivation. Verification mode: md5-u64 signature hashes
+    (``minhash_blocks_verified``) replace the xxhash64 fast path so both
+    engines derive identical bucket keys; the PLAN shape (signatures →
+    single band explode → band equi-join → hot-bucket cap → pair dedup)
+    is the production ``minhash_blocks`` plan."""
+    from rlerrorgenerator_spark.linkage.blocking import minhash_blocks_verified
+
+    clean, dirty = _blocking_fixture(spark, sf_dir)
+    return (
+        minhash_blocks_verified(clean, dirty)
+        .orderBy("rid_a", "rid_b")
+    )
+
+
 def er_linkage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rlerrorgenerator_spark.linkage.metrics import pairwise_metrics
 
@@ -844,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocking_candidates": er_blocking_candidates,
         "er_blocking_exact": er_blocking_exact,
         "er_blocking_snm": er_blocking_snm,
+        "er_blocking_minhash": er_blocking_minhash,
         "er_scoring_distances": er_scoring_distances,
         "er_incremental_clusters": er_incremental_clusters,
         "er_pipeline_e2e": er_pipeline_e2e,
@@ -935,6 +953,61 @@ def _minhash_sql(n_hashes: int = 12, bands: int = 6) -> str:
   FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
    AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+"""
+
+
+def _minhash_block_sql(n_hashes: int = 12, bands: int = 6,
+                       max_block_size: int = 200) -> str:
+    """Cross-side (clean × dirty) variant of ``_minhash_sql`` over the
+    md5 blocking fixture — re-derives ``minhash_blocks_verified``:
+    signatures per side, band keys, the (band, bkey) hot-bucket cap, and
+    the agreeing-band counts per candidate pair."""
+    mins = ",\n      ".join(
+        "min(" + _MD5_U64_SQL.format(x=f"'mh{i}|' || g") + f") AS mh_{i}"
+        for i in range(n_hashes)
+    )
+    rows = n_hashes // bands
+
+    def side(tbl: str, rid_expr: str, s: str) -> str:
+        band_sel = "\n    UNION ALL ".join(
+            f"SELECT rid, {b} AS band, "
+            + " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+            + f" AS bkey FROM sig_{s}"
+            for b in range(bands)
+        )
+        return f"""
+  toks_{s} AS (SELECT {rid_expr} AS rid, string_split(text, ' ') AS w FROM {tbl}),
+  grams_{s} AS (
+    SELECT rid, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - 4, 1)),
+             i -> array_to_string(w[i:i+4], ' ')))) AS g
+    FROM toks_{s}
+  ),
+  sig_{s} AS (
+    SELECT rid,
+      {mins}
+    FROM grams_{s} GROUP BY rid
+  ),
+  bands_{s} AS (
+    {band_sel}
+  ),
+  cap_{s} AS (
+    SELECT * FROM bands_{s} x WHERE NOT EXISTS (
+      SELECT 1 FROM (
+        SELECT band, bkey FROM bands_{s}
+        GROUP BY band, bkey HAVING count(*) > {max_block_size}
+      ) h WHERE h.band = x.band AND h.bkey = x.bkey
+    )
+  )"""
+
+    return f"""
+  WITH {_BLOCKING_FIXTURE_SQL},
+  {side('clean', 'url', 'a').strip()},
+  {side('dirty', 'rid', 'b').strip()}
+  SELECT a.rid AS rid_a, b.rid AS rid_b, count(*) AS n_bands
+  FROM cap_a a JOIN cap_b b ON a.band = b.band AND a.bkey = b.bkey
+  GROUP BY 1, 2
+  ORDER BY rid_a, rid_b
 """
 
 
@@ -1565,6 +1638,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS jw_gated
             FROM p ORDER BY rid_a, rid_b
         """,
+        "er_blocking_minhash": _minhash_block_sql(12, 6, 200),
         "er_blocking_snm": rf"""
             WITH {_BLOCKING_FIXTURE_SQL},
             u AS (

@@ -236,6 +236,63 @@ def minhash_blocks(clean: DataFrame, dirty: DataFrame, text_col: str = "text",
     )
 
 
+def minhash_blocks_verified(clean: DataFrame, dirty: DataFrame,
+                            text_col: str = "text", n_hashes: int = 12,
+                            bands: int = 6, shingle_k: int = 5,
+                            max_block_size: int = 200) -> DataFrame:
+    """MinHash-LSH blocking in VERIFICATION mode: the same plan shape as
+    :func:`minhash_blocks` (per-side signatures → one band-struct explode
+    → band equi-join → hot-bucket cap → pair dedup), but hashing with the
+    md5-u64 discipline of ``plans.dedup.minhash_signatures`` so an
+    independent SQL engine reproduces every bucket key bit-identically.
+    The xxhash fast path stays the production blocking; this variant is
+    what the driver's cross-engine oracle exercises (``er_blocking_minhash``).
+
+    The hot-bucket cap groups on (band, bkey) — the md5 band keys carry
+    no band salt, so capping on ``bkey`` alone (safe for the salted
+    xxhash keys) could conflate buckets across bands here."""
+    from rlerrorgenerator_spark.plans.dedup import minhash_signatures
+
+    rows_per_band = n_hashes // bands
+    sig_a = minhash_signatures(
+        clean.select(F.col("url").alias("rid"), text_col),
+        text_col, "rid", n_hashes, shingle_k)
+    sig_b = minhash_signatures(
+        dirty.select("rid", text_col), text_col, "rid", n_hashes, shingle_k)
+
+    def band_keys(sig: DataFrame, rid_alias: str) -> DataFrame:
+        structs = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *[
+                    F.col(f"mh_{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ]).alias("bkey"),
+            )
+            for b in range(bands)
+        ])
+        return sig.select(
+            F.col("id").alias(rid_alias), F.explode(structs).alias("bk")
+        ).select(rid_alias, F.col("bk.band").alias("band"),
+                 F.col("bk.bkey").alias("bkey"))
+
+    def cap(keyed: DataFrame) -> DataFrame:
+        hot = (
+            keyed.groupBy("band", "bkey").count()
+            .where(F.col("count") > max_block_size)
+            .select("band", "bkey")
+        )
+        return keyed.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
+
+    ka = cap(band_keys(sig_a, "rid_a"))
+    kb = cap(band_keys(sig_b, "rid_b"))
+    return (
+        ka.join(kb, ["band", "bkey"])
+        .groupBy("rid_a", "rid_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
 def build_candidates(clean: DataFrame, dirty: DataFrame,
                      use_exact: bool = True, use_snm: bool = True,
                      use_minhash: bool = True, snm_window: int = 3,
