@@ -115,7 +115,16 @@ def mess_data(
     """
     spark = clean.sparkSession
     lookups = lookups or {}
-    n = clean.count()
+    # LAZY row count: on the Bernoulli path with all-fractional rates the
+    # count is never consumed (selection is a hash predicate, not top-k),
+    # so the job — one full-scan action barrier before any injection —
+    # only runs when exact-k selection or an absolute amount needs it.
+    _n_cache: list[int] = []
+
+    def n_rows() -> int:
+        if not _n_cache:
+            _n_cache.append(clean.count())
+        return _n_cache[0]
     # Work on a SLIM copy: columns no transform targets (e.g. the ~KB html
     # binary) are projected out before the per-stage checkpoints and
     # re-joined once at the end — at 100 TB you never rewrite untouched
@@ -166,10 +175,13 @@ def mess_data(
             # passing the clamped 1.0 into resolve_n_errors would hit the
             # absolute-count branch and inject exactly ONE error).
             rate = min(amount, 1.0)
-            n_errors = n if rate >= 1.0 else resolve_n_errors(rate, n)
+            if exact:
+                n_errors = n_rows() if rate >= 1.0 else resolve_n_errors(rate, n_rows())
+            else:
+                n_errors = 0  # Bernoulli selection reads only ``rate``
         else:
-            n_errors = resolve_n_errors(amount, n)
-            rate = min(amount / max(n, 1), 1.0)
+            n_errors = resolve_n_errors(amount, n_rows())
+            rate = min(amount / max(n_rows(), 1), 1.0)
         kwargs = dict(row.kwargs)
         col_names = list(row.col_names)
         # R-style column-pointer kwargs (`benchmarking/error_table.csv`:

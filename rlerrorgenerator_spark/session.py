@@ -45,6 +45,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's 64MB default advisory size coalesces the ~100-200MB
+        # mid-pipeline shuffles (pair tables, band keys) down to 2-3
+        # tasks — starving every core past the second while leaving a
+        # single-core run unaffected (wave quantization: a 3-task stage
+        # uses 3 of 4 cores, then 0). 16MB keeps ≥3×cores tasks in
+        # flight at sandbox scale; at 100 TB shuffles are far above
+        # either value and the advisory is moot.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "16m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # 4MB: true dims (nation/region, lookup tables, hot-key lists)

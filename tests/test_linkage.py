@@ -228,3 +228,43 @@ def test_shingle_jaccard_mixed_sample_boundary(spark):
     cand2 = spark.createDataFrame([("https://b.com/p", "r2")], "rid_a string, rid_b string")
     row2 = score_pairs(cand2, clean2, dirty2).collect()[0]
     assert row2["metric_text_jaccard"] == 1.0
+
+
+def test_hot_block_cap_drops_giant_buckets(spark):
+    """Skew guard: a block key shared by > max_block_size rows on either
+    side is dropped entirely (boilerplate/empty-text protection), while
+    normal-sized blocks keep their pairs — for the exact strategy and the
+    md5-verified MinHash-LSH strategy alike."""
+    from pyspark.sql import types as T
+
+    from rlerrorgenerator_spark.linkage.blocking import (
+        exact_blocks,
+        minhash_blocks_verified,
+    )
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    uniq = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows_c, rows_d = [], []
+    for i in range(12):  # 12 > cap of 8 → the boilerplate bucket dies
+        rows_c.append((f"https://h.com/boiler/{i}", boiler))
+        rows_d.append((f"d:boiler{i}", f"https://h.com/boiler/{i}", boiler))
+    rows_c.append(("https://h.com/uniq", uniq))
+    rows_d.append(("d:uniq", "https://h.com/uniq", uniq))
+    clean = spark.createDataFrame(rows_c, "url string, text string")
+    dirty = spark.createDataFrame(rows_d, "rid string, url string, text string")
+
+    mh = minhash_blocks_verified(clean, dirty, max_block_size=8).collect()
+    got = {(r.rid_a, r.rid_b) for r in mh}
+    assert ("https://h.com/uniq", "d:uniq") in got
+    assert not any("boiler" in a for a, _ in got)
+
+    # exact strategy: same cap semantics on the url_norm / text keys
+    ex = exact_blocks(clean.withColumn("lang", F.lit("en")),
+                      dirty.withColumn("lang", F.lit("en")),
+                      max_block_size=8).collect()
+    got_ex = {(r.rid_a, r.rid_b) for r in ex}
+    assert ("https://h.com/uniq", "d:uniq") in got_ex
+    # per-url blocks are size 1 (unique urls) so url pairs survive; the
+    # TEXT-prefix key is the hot one and contributes no boiler pairs
+    text_pairs = {p for p in ex if p.block == "exact:text_prefix"}
+    assert not any("boiler" in r.rid_a for r in text_pairs)

@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Per-stage timing of the scaling workload at a given core count.
 
-Usage: python tools/profile_scaling.py CORES N_ROWS
+Usage: python tools/profile_scaling.py CORES N_ROWS [PAGES_PARQUET]
+PAGES_PARQUET switches the input from in-measure synthesis to the
+bench's pre-materialized parquet scan (input_mode=parquet_scan).
 Prints PROFILE:{json} with per-stage seconds.
 """
 import json
@@ -11,6 +13,7 @@ import time
 
 cores = int(sys.argv[1])
 n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 60000
+pages_path = sys.argv[3] if len(sys.argv) > 3 else None
 os.environ["SPARK_GRAFT_CPUS"] = str(cores)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -30,6 +33,13 @@ from rlerrorgenerator_spark.operators import mess_data
 from rlerrorgenerator_spark.pipeline import default_error_config
 from rlerrorgenerator_spark.sources.pages import prep_pages, synth_pages
 
+# identical warmup to bench.py's timed protocol: JVM/codegen/Arrow/Python
+# worker spin-up is a fixed per-cluster cost, not steady-state throughput —
+# without this it lands in the first stage and skews the 4c:1c attribution
+from bench import _warmup
+
+_warmup(spark)
+
 t = {}
 t0 = time.time()
 
@@ -42,9 +52,14 @@ def mark(name):
 
 
 ckpt = CheckpointManager(spark, None)
-pages = synth_pages(spark, n_rows, seed=42, body_tokens=(200, 600))
-clean = ckpt.stage(prep_pages(pages), "clean")
-mark("synth+prep")
+if pages_path:
+    pages = spark.read.parquet(pages_path)
+    clean = ckpt.stage(prep_pages(pages).drop("html"), "clean")
+    mark("scan+prep")
+else:
+    pages = synth_pages(spark, n_rows, seed=42, body_tokens=(200, 600))
+    clean = ckpt.stage(prep_pages(pages), "clean")
+    mark("synth+prep")
 cfg = default_error_config()
 dirty, lineage = mess_data(clean, cfg, seed=42, ckpt=ckpt, exact=False,
                            checkpoint_every=4)
