@@ -381,6 +381,27 @@ def ann_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(emb, threshold=0.5)
 
 
+def ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine baseline, both API shapes in one driver row
+    (window curation, VERDICT r3 fix #2): kind='topk' = top-5 neighbors
+    for the first 20 query vectors; kind='neardup' = all pairs above
+    cosine 0.5. Each was independently oracle-green in rounds 2-3
+    (ann_cosine_topk / ann_neardup); the union preserves both checks in
+    one of the driver's 50 correctness slots."""
+    topk = ann_cosine_topk(spark, sf_dir).select(
+        F.lit("topk").alias("kind"),
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "cos",
+        F.col("rk").cast("long").alias("rk"),
+    )
+    near = ann_neardup(spark, sf_dir).select(
+        F.lit("neardup").alias("kind"), "id_a", "id_b", "cos",
+        F.lit(None).cast("long").alias("rk"),
+    )
+    return topk.unionByName(near).orderBy("kind", "id_a", "id_b")
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100TB ANN path (sign-LSH bucket join), checked two ways: the
     row itself reports top-1 recall vs the exact brute-force baseline
@@ -425,8 +446,13 @@ def _stream_src_dir(sf_dir: str, name: str) -> str:
     import shutil
     import tempfile
 
+    import hashlib
+
     src = _t(sf_dir, name)
-    key = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8:08d}"
+    # md5 (not built-in hash(): that is randomized per process via
+    # PYTHONHASHSEED, so every driver run would stage a fresh copy and
+    # stale dirs would accumulate in /tmp — VERDICT r3 "What's wrong" #3)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{name}_{key}")
     os.makedirs(d, exist_ok=True)
     dst = os.path.join(d, f"{name}.parquet")
@@ -548,20 +574,26 @@ def _er_result(spark: SparkSession, sf_dir: str):
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-routed ANN (sampled k-means centroids + nprobe bucket join),
-    self-checked against the exact baseline. The driver embeddings are
-    near-RANDOM vectors — the worst case for any space-partitioning
-    index — so the operating point here probes 5 of 8 buckets for
-    recall ≈ 0.88 at ~0.62 of the brute-force work; on clustered
-    embeddings the same machinery reaches ≥ 0.9 probing < 1/4 of the
-    corpus (tests/test_dedup_ann.py::test_ivf_topk_clustered)."""
-    from rlerrorgenerator_spark.plans.ann import cosine_topk, ivf_topk
+    """IVF-routed ANN, now FULLY ORACLE-CHECKED (VERDICT r3 fix #7):
+    routing uses md5-Rademacher fixed centroids (plans/ann.py::
+    ivf_topk_verified — integer dot-product argmax assignment + top-6
+    probe list, all replayed bit-identically by the DuckDB oracle, the
+    same ``_verified`` discipline as minhash_blocks_verified), then the
+    usual exact-cosine re-rank inside the probed buckets. The driver
+    embeddings are near-RANDOM vectors — the worst case for any
+    space-partitioning index — so the operating point probes 6 of 8
+    buckets for recall ≈ 0.86; the PRODUCTION trained-k-means router
+    (plans/ann.py::ivf_topk) reaches ≥ 0.9 probing < 1/4 of a clustered
+    corpus (tests/test_dedup_ann.py::test_ivf_topk_clustered) and stays
+    exercised by tests — only the centroid source differs."""
+    from rlerrorgenerator_spark.plans.ann import cosine_topk, ivf_topk_verified
 
     emb = _load(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 50)
     exact = cosine_topk(queries_df, emb, k=1).select(
         "query_id", F.col("neighbor_id").alias("exact_nn"))
-    approx = ivf_topk(queries_df, emb, k=1, n_centroids=8, n_probe=5) \
+    approx = ivf_topk_verified(queries_df, emb, k=1,
+                               n_centroids=8, n_probe=6) \
         .select("query_id", F.col("neighbor_id").alias("ivf_nn"))
     j = exact.join(approx, "query_id", "left")
     return j.agg(
@@ -569,7 +601,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("ivf_nn") == F.col("exact_nn")).cast("long")).alias("hits"),
         F.round(F.avg((F.col("ivf_nn") == F.col("exact_nn")).cast("double")), 4)
          .alias("recall_at_1"),
-        F.round(F.lit(5 / 8), 4).alias("probed_fraction"),
+        F.round(F.lit(6 / 8), 4).alias("probed_fraction"),
         (F.avg((F.col("ivf_nn") == F.col("exact_nn")).cast("double")) >= 0.8)
         .alias("recall_target_met"),
     )
@@ -666,6 +698,86 @@ def er_scoring_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("rid_a", "url_b").alias("lev"),
         F.when(jw > 0.82, F.round(jw, 4)).alias("jw_gated"),
     ).orderBy("rid_a", "rid_b")
+
+
+def er_resolution_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-links 'odds' resolution + 1-to-1 filter, ORACLE-CHECKED
+    (VERDICT r3 fix #4): the REAL scored pairs of the e2e fixture
+    (build_candidates exact ∪ SNM → score_pairs exact-shingle mode, the
+    same bit-identical per-pair probabilities er_pipeline_e2e certifies)
+    fed through linkage/resolve.py::find_best_links — the reference's
+    windowed odds logic (`benchmarking/utils.R:426-470`: accept a left
+    id's top pair only when its probability margin over the runner-up
+    exceeds ``odds``) followed by the 1-to-1 keep-best-per-right filter
+    (`utils.R:368-389`). The DuckDB oracle re-derives both windows
+    (row_number + lead over the shared prob CTE) pair-for-pair."""
+    from rlerrorgenerator_spark.linkage.blocking import build_candidates
+    from rlerrorgenerator_spark.linkage.features import score_pairs
+    from rlerrorgenerator_spark.linkage.resolve import find_best_links
+
+    clean, dirty = _blocking_fixture(spark, sf_dir)
+    candidates = build_candidates(clean, dirty, use_minhash=False)
+    scored = score_pairs(candidates, clean, dirty, exact_shingles=True)
+    links = find_best_links(scored, odds=0.4, threshold=0.5)
+    return links.select(
+        "rid_a", "rid_b", F.round("match_prob", 6).alias("match_prob")
+    ).orderBy("rid_a", "rid_b")
+
+
+def er_model_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable ML classifier slot (capability parity with the
+    reference's caret RF/SVM/keras-NN family, `benchmarking/utils.R:
+    916-995`): fit the MLlib logistic-regression pipeline
+    (linkage/models.py — impute-0 → assemble → z-scale → LR, distributed
+    training, no driver-side collect) on the e2e fixture's metric_*
+    features with a DETERMINISTIC md5 train/holdout split, score the
+    holdout at the reference's 0.5 rule (`utils.R:362-364`), and report
+    holdout F1 with a target_met gate. Rows-only by contract: MLlib
+    training is iterative float optimization no SQL engine reproduces
+    bit-identically — the row itself carries the quality evidence, the
+    same discipline as ann_ivf_topk."""
+    from rlerrorgenerator_spark.linkage.blocking import build_candidates
+    from rlerrorgenerator_spark.linkage.features import score_pairs
+    from rlerrorgenerator_spark.linkage.metrics import label_pairs
+    from rlerrorgenerator_spark.linkage.models import (
+        predict_match_prob,
+        train_match_model,
+    )
+    from rlerrorgenerator_spark.rng import md5_mod
+
+    clean, dirty = _blocking_fixture(spark, sf_dir)
+    candidates = build_candidates(clean, dirty, use_minhash=False)
+    scored = score_pairs(candidates, clean, dirty, exact_shingles=True)
+    # drop the deterministic scorer's outputs: the MLlib pipeline emits
+    # its own prediction/match_prob and transformSchema rejects clashes
+    labeled = label_pairs(scored, dirty).drop("prediction", "match_prob")
+    feature_cols = sorted(c for c in labeled.columns
+                          if c.startswith("metric_"))
+    # deterministic 75/25 split keyed on the pair ids (not randomSplit,
+    # whose partitioning-dependent sampling would make the row flap)
+    split = md5_mod("mlsplit|", F.concat("rid_a", F.lit("|"), "rid_b"), 4)
+    train = labeled.where(split < 3)
+    test = labeled.where(split == 3)
+    model = train_match_model(train, feature_cols, model="logreg")
+    pred = predict_match_prob(model, test, feature_cols)
+    tp = F.sum((F.col("prediction") & F.col("label")).cast("long"))
+    fp = F.sum((F.col("prediction") & ~F.col("label")).cast("long"))
+    fn = F.sum((~F.col("prediction") & F.col("label")).cast("long"))
+    agg = pred.agg(
+        F.count("*").alias("n_test"), tp.alias("tp"), fp.alias("fp"),
+        fn.alias("fn"),
+    )
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    f1 = 2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12))
+    n_train = train.count()
+    return agg.select(
+        F.lit("logreg").alias("model"),
+        F.lit(n_train).alias("n_train"),
+        "n_test", "tp", "fp", "fn",
+        F.round(f1, 6).alias("holdout_f1"),
+        (f1 >= 0.95).alias("target_met"),
+    )
 
 
 def er_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -829,13 +941,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """49 entries — curated to the driver's 50-entry correctness window
+    (round 3 shipped 69 and the trailing 19 were silently unchecked).
+    Window moves vs round 3:
+
+    - DROPPED (still implemented + exercised by tests/bench): doc_tokens
+      (a strict projection of doc_tokens_bpe.n_ws_tokens),
+      er_lineage_summary / er_blocking_candidates / er_linkage_metrics /
+      er_cluster_sizes (rows-only summaries of the xxhash pipeline whose
+      semantics are oracle-certified by er_pipeline_e2e +
+      dup_cluster_sizes).
+    - MERGED, nothing weakened (each member's full derivation is still
+      value-hashed, under a tag column): ann_cosine = ann_cosine_topk ∪
+      ann_neardup; er_op_<family> = same-schema §2.A lineage ops unioned
+      (see rlerrorgenerator_spark/oracle_er.py::LINEAGE_FAMILIES for the
+      op→family map and reference citations).
+    - ADDED: er_resolution_links (best-links odds + 1-to-1, oracle),
+      er_model_f1 (MLlib classifier slot, rows-only self-check).
+    """
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
         "events_type_stats": events_type_stats,
+        "events_props_stats": events_props_stats,
         "top_users_by_value": top_users_by_value,
-        "doc_tokens": doc_tokens,
         "doc_tokens_bpe": doc_tokens_bpe,
         "doc_quality": doc_quality,
         "doc_fingerprint": doc_fingerprint,
@@ -844,7 +974,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": doc_pii_scrub,
         "doc_decontaminate": doc_decontaminate,
         "doc_repetition": doc_repetition,
-        "events_props_stats": events_props_stats,
         "dup_exact_groups": dup_exact_groups,
         "dup_ngram_jaccard": dup_ngram_jaccard,
         "dup_minhash": dup_minhash,
@@ -853,39 +982,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_windows": stream_events_windows,
         "stream_user_sessions": stream_user_sessions,
         "mm_features": mm_features,
-        "ann_cosine_topk": ann_cosine_topk,
-        "ann_neardup": ann_neardup,
+        "ann_cosine": ann_cosine,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
-        "er_lineage_summary": er_lineage_summary,
-        "er_blocking_candidates": er_blocking_candidates,
         "er_blocking_exact": er_blocking_exact,
         "er_blocking_snm": er_blocking_snm,
         "er_blocking_minhash": er_blocking_minhash,
         "er_scoring_distances": er_scoring_distances,
+        "er_resolution_links": er_resolution_links,
         "er_incremental_clusters": er_incremental_clusters,
         "er_pipeline_e2e": er_pipeline_e2e,
         "er_stream_incremental": er_stream_incremental,
-        "er_linkage_metrics": er_linkage_metrics,
-        "er_cluster_sizes": er_cluster_sizes,
+        "er_model_f1": er_model_f1,
         **_audit_queries(),
     }
 
 
 def _audit_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One named driver query per §2.A error transform (SURVEY.md §2.A
-    1-26), now ORACLE-CHECKED: each ``er_op_<name>`` runs the real
-    transform in rng='md5' mode and a DuckDB oracle reproduces the full
-    derivation — selection, draws, edits — row for row (see
-    rlerrorgenerator_spark/oracle_er.py). Two seeded-RNG programs stay
-    rows-only by contract: the iterative calibration loop and the
-    full-program lineage audit (er_audit_violations aggregates every
-    per-operator invariant check from rlerrorgenerator_spark/audit.py —
-    its ``violations`` column must be all-zero)."""
+    """The §2.A error-transform window (SURVEY.md §2.A 1-26), ORACLE-
+    CHECKED: every ``er_op_<name>`` runs the real transform(s) in
+    rng='md5' mode and a DuckDB oracle reproduces the full derivation —
+    selection, draws, edits — row for row (see
+    rlerrorgenerator_spark/oracle_er.py). Same-schema lineage ops are
+    grouped per family with an ``op`` tag column so all 29 transforms fit
+    the driver's 50-entry correctness window (LINEAGE_FAMILIES documents
+    the op→family map). Two seeded-RNG programs stay rows-only by
+    contract: the iterative calibration loop and the full-program lineage
+    audit (er_audit_violations aggregates every per-operator invariant
+    check from rlerrorgenerator_spark/audit.py — its ``violations``
+    column must be all-zero)."""
     from rlerrorgenerator_spark.audit import run_audit
-    from rlerrorgenerator_spark.oracle_er import er_oracle_queries
+    from rlerrorgenerator_spark.oracle_er import er_family_queries
 
-    out = dict(er_oracle_queries())
+    out = dict(er_family_queries())
 
     def calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_audit(spark, "calibration")
@@ -1083,10 +1212,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY total_value DESC, user_id
             LIMIT 10
         """,
-        "doc_tokens": """
-            SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
-            FROM documents
-        """,
         "doc_tokens_bpe": """
             SELECT doc_id,
                    len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
@@ -1252,7 +1377,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(sa.sim_lo, sb.sim_lo))
                   + bit_count(xor(sa.sim_hi, sb.sim_hi)) <= 6
         """,
-        "ann_cosine_topk": """
+        # merged driver row: both brute-force cosine shapes (top-k per
+        # query + thresholded near-dup pairs), each previously green as
+        # its own query; the union keeps both value-hashed in one slot
+        "ann_cosine": """
             WITH scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                      round(list_cosine_similarity(q.embedding::DOUBLE[],
@@ -1266,15 +1394,18 @@ def oracle_sql() -> dict[str, str]:
               ) AS rk
               FROM scored
             )
-            SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5
-        """,
-        "ann_neardup": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            SELECT 'topk' AS kind, query_id AS id_a, neighbor_id AS id_b,
+                   cos, rk
+            FROM ranked WHERE rk <= 5
+            UNION ALL
+            SELECT 'neardup' AS kind, a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                                b.embedding::DOUBLE[]), 6) AS cos
+                                                b.embedding::DOUBLE[]), 6) AS cos,
+                   NULL::BIGINT AS rk
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6) >= 0.5
+            ORDER BY kind, id_a, id_b
         """,
         # Full cross-engine LSH replication: md5-derived Rademacher planes
         # over floor(x·1e6) integer vectors — identical buckets, candidate
@@ -1354,6 +1485,92 @@ def oracle_sql() -> dict[str, str]:
                      AS recall_target_met
             FROM ex1 LEFT JOIN lsh1 USING (query_id)
         """,
+        # IVF routing replayed end-to-end: md5-Rademacher centroids
+        # (the 'ivf|c|d' sign stream, plans/ann.py::ivf_centroids),
+        # integer routing keys dot·8 + (7-c) so ties break toward the
+        # lower centroid id, argmax assignment, top-6 probes, exact
+        # cosine re-rank, recall vs the brute-force baseline.
+        "ann_ivf_topk": """
+            WITH qv AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> floor(x::DOUBLE * 1000000)::BIGINT) AS r
+              FROM embeddings
+            ),
+            cent_sign AS (
+              SELECT c.c, d.d,
+                     CASE WHEN ('0x' || substring(
+                              md5('ivf|' || c.c || '|' || d.d),
+                              1, 1))::INT % 2 = 0
+                          THEN 1::BIGINT ELSE (-1)::BIGINT END AS s
+              FROM (SELECT unnest(range(8)) AS c) c,
+                   (SELECT unnest(range(1, 65)) AS d) d
+            ),
+            cents AS (
+              SELECT c, list(s ORDER BY d) AS signs
+              FROM cent_sign GROUP BY c
+            ),
+            keys AS (
+              SELECT v.vec_id,
+                     (list_sum(list_transform(range(1, 65),
+                                              d -> v.r[d] * ct.signs[d]))::BIGINT
+                      * 8 + (7 - ct.c)) AS key
+              FROM qv v CROSS JOIN cents ct
+            ),
+            ranked AS (
+              SELECT vec_id, 7 - ((key % 8 + 8) % 8) AS bucket,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY key DESC) AS rk
+              FROM keys
+            ),
+            assign AS (SELECT vec_id, bucket FROM ranked WHERE rk = 1),
+            probes AS (
+              SELECT vec_id, bucket FROM ranked
+              WHERE rk <= 6 AND vec_id < 50
+            ),
+            cand AS (
+              SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+              FROM probes p JOIN assign a ON p.bucket = a.bucket
+              WHERE p.vec_id != a.vec_id
+            ),
+            scored AS (
+              SELECT c.query_id, c.neighbor_id,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                  n.embedding::DOUBLE[]), 6) AS cos
+              FROM cand c
+              JOIN embeddings q ON q.vec_id = c.query_id
+              JOIN embeddings n ON n.vec_id = c.neighbor_id
+            ),
+            ivf1 AS (
+              SELECT query_id, neighbor_id AS ivf_nn
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                    ) AS rk FROM scored)
+              WHERE rk = 1
+            ),
+            ex_scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                  c.embedding::DOUBLE[]), 6) AS cos
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 50
+            ),
+            ex1 AS (
+              SELECT query_id, neighbor_id AS exact_nn
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                    ) AS rk FROM ex_scored)
+              WHERE rk = 1
+            )
+            SELECT count(*) AS n_queries,
+                   sum(CASE WHEN ivf_nn = exact_nn THEN 1 ELSE 0 END)::BIGINT AS hits,
+                   round(avg((CASE WHEN ivf_nn = exact_nn THEN 1 ELSE 0 END)::DOUBLE), 4)
+                     AS recall_at_1,
+                   round(6.0 / 8.0, 4) AS probed_fraction,
+                   (avg((CASE WHEN ivf_nn = exact_nn THEN 1 ELSE 0 END)::DOUBLE) >= 0.8)
+                     AS recall_target_met
+            FROM ex1 LEFT JOIN ivf1 USING (query_id)
+        """,
         # er_op_* oracles: each §2.A transform re-derived end-to-end in
         # DuckDB (md5 draw streams; rlerrorgenerator_spark/oracle_er.py).
         # The pipeline itself is oracle-checked end-to-end by
@@ -1362,10 +1579,9 @@ def oracle_sql() -> dict[str, str]:
         # the driver contract: the xxhash exact-k er_pipeline runs
         # (er_lineage_summary/er_blocking_candidates/er_linkage_metrics/
         # er_cluster_sizes) + er_op_calibration + er_audit_violations
-        # (iterative seeded-RNG programs), ann_ivf_topk (iterative float
-        # k-means no independent engine reproduces bit-identically — the
-        # query row itself carries the recall evidence), and mm_features
-        # (no SQL engine decodes the binaries).
+        # (iterative seeded-RNG programs), er_model_f1 (iterative MLlib
+        # optimization — the row itself carries holdout F1), and
+        # mm_features (no SQL engine decodes the binaries).
         "doc_pii_scrub": r"""
             WITH base AS (
               SELECT doc_id, substring(text, 1, 160) AS text,
@@ -1547,6 +1763,36 @@ def oracle_sql() -> dict[str, str]:
                    round(tn / greatest(tn + fp, 1), 6) AS specificity,
                    round(tn / greatest(tn + fn, 1), 6) AS npv
             FROM agg
+        """,
+        # best-links odds resolution + 1-to-1 (utils.R:426-470, :368-389)
+        # over the SAME bit-identical per-pair probabilities the e2e
+        # oracle certifies: accept a left id's top pair only when its
+        # margin over the runner-up exceeds odds=0.4, then keep each
+        # right id's single best accepted pair.
+        "er_resolution_links": rf"""
+            WITH {_e2e_prob_sql()},
+            acc AS (SELECT rid_a, rid_b, p FROM prob WHERE p > 0.5),
+            w AS (
+              SELECT rid_a, rid_b, p,
+                     row_number() OVER (PARTITION BY rid_a
+                                        ORDER BY p DESC, rid_b) AS rk,
+                     lead(p) OVER (PARTITION BY rid_a
+                                   ORDER BY p DESC, rid_b) AS nxt
+              FROM acc
+            ),
+            best AS (
+              SELECT rid_a, rid_b, p FROM w
+              WHERE rk = 1 AND (nxt IS NULL OR p - nxt > 0.4)
+            ),
+            one AS (
+              SELECT rid_a, rid_b, p,
+                     row_number() OVER (PARTITION BY rid_b
+                                        ORDER BY p DESC, rid_a) AS rk
+              FROM best
+            )
+            SELECT rid_a, rid_b, round(p, 6) AS match_prob
+            FROM one WHERE rk = 1
+            ORDER BY rid_a, rid_b
         """,
         # streaming fold == monolithic: the Spark side folds micro-batches
         # through real blocking+scoring+seeded-CC; the oracle recomputes
@@ -1806,6 +2052,6 @@ _BLOCKING_FIXTURE_SQL = """
 
 
 def _er_oracle_sql_entries() -> dict[str, str]:
-    from rlerrorgenerator_spark.oracle_er import er_oracle_sql
+    from rlerrorgenerator_spark.oracle_er import er_family_sql
 
-    return er_oracle_sql()
+    return er_family_sql()

@@ -127,16 +127,29 @@ print("BENCHJSON:" + json.dumps(out))
 """
 
 
+_FIXTURE_VERSION = "v2"          # bump when synth_pages output changes
+_SCALING_BODY_TOKENS = (200, 600)
+
+
 def _ensure_scaling_input(n_rows: int, seed: int = 42) -> str:
     """Materialize the scaling workload's input pages table ONCE
     (idempotent): a parquet table of exactly the input_hint shape
     (url, warc_ts, html binary, text, lang). Both scaling legs then READ
     this same table — the 100 TB pipeline's first step is an Iceberg/
-    parquet scan, not corpus synthesis."""
+    parquet scan, not corpus synthesis.
+
+    The cache key folds in every generator parameter (n_rows, seed,
+    body_tokens, a fixture-format version) so a stale fixture from an
+    older code version is never silently reused, and the table is
+    written to a temp dir + atomically renamed so a concurrent bench
+    run cannot observe a half-written directory (ADVICE r3)."""
     import tempfile
 
-    base = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_scale_pages_{n_rows}_{seed}")
+    bt = _SCALING_BODY_TOKENS
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_scale_pages_{_FIXTURE_VERSION}"
+        f"_{n_rows}_{seed}_{bt[0]}x{bt[1]}")
     if os.path.exists(os.path.join(base, "_SUCCESS")):
         return base
     from rlerrorgenerator_spark.session import get_spark
@@ -146,9 +159,16 @@ def _ensure_scaling_input(n_rows: int, seed: int = 42) -> str:
                       cores=int(os.environ.get("SPARK_GRAFT_CPUS",
                                                os.cpu_count() or 8)))
     spark.sparkContext.setLogLevel("ERROR")
-    synth_pages(spark, n_rows, seed=seed, body_tokens=(200, 600)) \
-        .write.mode("overwrite").parquet(base)
+    tmp = base + f".tmp{os.getpid()}"
+    synth_pages(spark, n_rows, seed=seed, body_tokens=bt) \
+        .write.mode("overwrite").parquet(tmp)
     spark.stop()
+    try:
+        os.rename(tmp, base)
+    except OSError:
+        # lost the race to a concurrent run — its fixture is identical
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
     return base
 
 
@@ -196,7 +216,8 @@ def _run_linkage_kernel(spark, n_rows: int) -> dict:
 def _run_er_subprocess(sf_dir: str, cores: int, n_rows: int,
                        shuffle_partitions: int,
                        bind_cpus: str | None = None,
-                       pages_path: str | None = None) -> dict:
+                       pages_path: str | None = None,
+                       timeout: int = 3600) -> dict:
     import subprocess
 
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
@@ -213,12 +234,37 @@ def _run_er_subprocess(sf_dir: str, cores: int, n_rows: int,
         cmd,
         capture_output=True, text=True, env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)),
-        timeout=3600,
+        timeout=timeout,
     )
     for line in proc.stdout.splitlines():
         if line.startswith("BENCHJSON:"):
             return json.loads(line[len("BENCHJSON:"):])
     raise RuntimeError(f"scaling run at {cores} cores failed:\n{proc.stderr[-2000:]}")
+
+
+def _bind_ranges(n_small: int) -> tuple[str | None, str | None]:
+    """Disjoint CPU-affinity ranges for the low/high legs, away from
+    cpu0 where system daemons land. Validated against the CPUs this
+    process can actually schedule on (``os.sched_getaffinity``), not
+    ``os.cpu_count()`` — the latter counts online CPUs, not IDs, so on
+    hosts with offline/non-contiguous CPUs a blind range would make
+    every taskset leg fail (ADVICE r3). Falls back to unbound legs when
+    the ranges aren't fully available."""
+    import shutil
+
+    if os.environ.get("SPARK_GRAFT_BIND_CPUS", "1") == "0":
+        return None, None
+    if not shutil.which("taskset"):
+        return None, None
+    try:
+        avail = os.sched_getaffinity(0)
+    except (AttributeError, OSError):
+        return None, None
+    lo_ids = list(range(2, 2 + n_small))
+    hi_ids = list(range(2 + n_small, 2 + 5 * n_small))
+    if not all(c in avail for c in lo_ids + hi_ids):
+        return None, None
+    return (f"{lo_ids[0]}-{lo_ids[-1]}", f"{hi_ids[0]}-{hi_ids[-1]}")
 
 
 def main() -> None:
@@ -231,6 +277,14 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
+    t_start = time.time()
+    # Hard wall for the WHOLE bench (driver runs us under an external
+    # timeout that killed round 3 at rc=124 with zero parseable output).
+    # Every scaling leg is budgeted against this deadline; when the next
+    # leg wouldn't fit, scaling stops with what it has and the final
+    # JSON still prints.
+    deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1800"))
+
     import __spark_entry__ as entry_mod
 
     spark = _fresh_spark(cpus)
@@ -241,115 +295,22 @@ def main() -> None:
         "doc_quality", "doc_langid", "dup_exact_groups", "dup_ngram_jaccard",
         "dup_minhash", "dup_simhash", "ann_cosine_topk",
     ]
-    qmap = entry_mod.queries()
+    # module functions, not the curated queries() dict: the driver window
+    # caps queries() at 50 entries, but the bench keeps timing the same
+    # 13 workloads as rounds 1-3 for cross-round comparability
     # JVM/codegen/Arrow spin-up happens once per session; without this the
     # first headline query absorbs ~3-4s of it and the per-query numbers
     # aren't comparable across positions in the list
     _warmup(spark)
     for name in headline:
         t0 = time.time()
-        df = qmap[name](spark, sf_dir)
+        df = getattr(entry_mod, name)(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         queries[name] = round(time.time() - t0, 3)
 
     t0 = time.time()
     er = _run_er_pipeline(spark, sf_dir)
     queries["er_pipeline"] = round(er["sec"], 3)
-
-    scaling = {}
-    do_scaling = (not args.no_scaling
-                  and os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0")
-    if do_scaling:
-        spark.stop()
-        # N vs 4N on the same input (driver note: "e.g. local[8] and
-        # local[32], or N and 4N"). Default N=2: the dense-page workload
-        # is compute-bound there, so the ratio measures the engine's
-        # parallel fraction rather than Spark's fixed per-job driver
-        # latencies (AQE replans, codegen, broadcast builds), which
-        # dominate wall time at 32 threads on MB-scale sandbox inputs
-        # and would dominate nothing at 100 TB.
-        n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "1"))
-        n_big = 4 * n_small
-        # input sized so parallel compute dominates the fixed per-job
-        # driver overheads (~15-20s/run measured) — at 60k rows those
-        # overheads alone cap the measurable efficiency near 0.5
-        scaling_rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "240000"))
-        sp = max(4 * n_big, 16)  # identical partitioning at both levels
-        # Host timing variance on this shared box (BENCH/BASELINE.md):
-        # runs swing under neighbor contention (high leg more than low).
-        # SYMMETRIC protocol: run BOTH legs the same number of times and
-        # take the same statistic (best-of-N ≈ least-contended run) on
-        # each — best-of-N(hi) over a single lo would be upward-biased,
-        # and a one-shot noisy-SLOW low leg would inflate the ratio
-        # undetected. No early stop: every attempt runs and is recorded
-        # regardless of whether the 0.8 gate is already met, alternating
-        # legs so both see the same contention epochs.
-        rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
-        max_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_ROUNDS", "3"))
-        # CPU-affinity binding (default ON; SPARK_GRAFT_BIND_CPUS=0 to
-        # disable): taskset each leg to exactly N / 4N cores — the
-        # literal reading of the rule's "N and 4N cores". Unbound
-        # local[N] is NOT an N-core cluster: its JVM task threads, GC,
-        # Arrow pipe threads and Python UDF workers overlap across extra
-        # host cores, and the SMALL leg gains the most (local[1] measured
-        # ~1.3 effective cores), which biases the ratio downward vs what
-        # N→4N executors would show. Both variants measured with the
-        # same code/input (240k pages, adjacent windows):
-        #   bound   1107 → 3870 pairs/s  eff 0.874
-        #   unbound best-of-3 1271 → 3917 eff 0.770
-        # (history: before the AQE advisory fix the bound HIGH leg was
-        # task-starved — 2231 pairs/s, eff 0.75 — which is why earlier
-        # rounds recorded unbound numbers.) Disjoint ranges, away from
-        # cpu0 where system daemons land.
-        import shutil
-
-        lo_bind = hi_bind = None
-        if (os.environ.get("SPARK_GRAFT_BIND_CPUS", "1") != "0"
-                and shutil.which("taskset")
-                and (os.cpu_count() or 0) >= 2 + 5 * n_small):
-            lo_bind = f"2-{1 + n_small}"
-            hi_bind = f"{2 + n_small}-{1 + 5 * n_small}"
-        pages_path = _ensure_scaling_input(scaling_rows)
-        los, his = [], []
-        for _ in range(rounds):
-            lo = _run_er_subprocess(sf_dir, n_small, scaling_rows, sp,
-                                    lo_bind, pages_path)
-            los.append(round(lo["pairs_per_sec"], 1))
-            hi = _run_er_subprocess(sf_dir, n_big, scaling_rows, sp,
-                                    hi_bind, pages_path)
-            his.append(round(hi["pairs_per_sec"], 1))
-
-        # Dispersion escalation — SYMMETRIC and GATE-AGNOSTIC: when the
-        # attempts of EITHER leg disagree by > 20% (a contended host
-        # window), run one more alternating round on BOTH legs, up to
-        # max_rounds. The trigger reads only intra-leg spread, never the
-        # efficiency value, so it cannot bias toward the 0.8 target; the
-        # statistic stays best-of-N with the SAME N on both legs.
-        def _spread(xs):
-            return (max(xs) - min(xs)) / max(xs) if max(xs) else 0.0
-
-        while (len(los) < max_rounds
-               and (_spread(los) > 0.2 or _spread(his) > 0.2)):
-            lo = _run_er_subprocess(sf_dir, n_small, scaling_rows, sp,
-                                    lo_bind, pages_path)
-            los.append(round(lo["pairs_per_sec"], 1))
-            hi = _run_er_subprocess(sf_dir, n_big, scaling_rows, sp,
-                                    hi_bind, pages_path)
-            his.append(round(hi["pairs_per_sec"], 1))
-        eff = max(his) / (4.0 * max(los)) if max(los) else 0.0
-        scaling = {
-            "cores_low": n_small,
-            "cores_high": n_big,
-            "input_rows": scaling_rows,
-            "input_mode": "parquet_scan",
-            "shuffle_partitions": sp,
-            "pairs_per_sec_low": max(los),
-            "pairs_per_sec_high": max(his),
-            "low_leg_attempts": los,
-            "high_leg_attempts": his,
-            "cpu_bound_legs": bool(lo_bind),
-            "scaling_efficiency": round(eff, 3),
-        }
 
     total = round(sum(queries.values()), 3)
     out = {
@@ -361,9 +322,152 @@ def main() -> None:
         "er_candidate_pairs": er["n_candidates"],
         "er_pairs_per_sec": round(er["pairs_per_sec"], 1),
         "er_f1": round(er["f1"], 6),
-        **({"scaling": scaling} if scaling else {}),
     }
-    print(json.dumps(out))
+    do_scaling = (not args.no_scaling
+                  and os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0")
+    if do_scaling:
+        # Headline JSON line FIRST (VERDICT r3 fix #1): if the scaling
+        # section outlives the driver's budget, the completed per-query
+        # timings still parse; on a full run the final line below —
+        # the same object plus "scaling" — supersedes this one.
+        print(json.dumps(out), flush=True)
+        spark.stop()
+        out["scaling"] = _run_scaling(sf_dir, t_start, deadline)
+
+    print(json.dumps(out), flush=True)
+    _dump_local(out)
+
+
+def _dump_local(out: dict) -> None:
+    """Belt-and-suspenders evidence: mirror the final JSON to
+    BENCH/last_run.json (the printed line remains the driver artifact)."""
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH", "last_run.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
+
+
+def _run_scaling(sf_dir: str, t_start: float, deadline: float) -> dict:
+    # N vs 4N on the same input (driver note: "e.g. local[8] and
+    # local[32], or N and 4N"). Default N=1: the dense-page workload
+    # is compute-bound there, so the ratio measures the engine's
+    # parallel fraction rather than Spark's fixed per-job driver
+    # latencies (AQE replans, codegen, broadcast builds), which
+    # dominate wall time at 32 threads on MB-scale sandbox inputs
+    # and would dominate nothing at 100 TB.
+    n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "1"))
+    n_big = 4 * n_small
+    # Input sized so parallel compute dominates the fixed per-job driver
+    # overheads (~15-20s/run measured; at 60k rows those overheads alone
+    # cap the measurable efficiency near 0.5) while the full symmetric
+    # protocol fits the driver's budget — 240k rows ran the 1-core leg
+    # ~850-1000s and round 3 timed out with NOTHING recorded (rc=124).
+    # 100k keeps the low leg ≈330-400s, still compute-dominated (the
+    # serial floor is <6% of the leg) per BENCH/BASELINE.md.
+    scaling_rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "100000"))
+    sp = max(4 * n_big, 16)  # identical partitioning at both levels
+    # Host timing variance on this shared box (BENCH/BASELINE.md):
+    # runs swing under neighbor contention (high leg more than low).
+    # SYMMETRIC protocol: run BOTH legs the same number of times and
+    # take the same statistic (best-of-N ≈ least-contended run) on
+    # each — best-of-N(hi) over a single lo would be upward-biased,
+    # and a one-shot noisy-SLOW low leg would inflate the ratio
+    # undetected. No early stop on the gate: attempts end only at
+    # round count or the wall-clock deadline, alternating legs so both
+    # see the same contention epochs.
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+    max_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_ROUNDS", "3"))
+    # CPU-affinity binding (default ON; SPARK_GRAFT_BIND_CPUS=0 to
+    # disable): taskset each leg to exactly N / 4N cores — the
+    # literal reading of the rule's "N and 4N cores". Unbound
+    # local[N] is NOT an N-core cluster: its JVM task threads, GC,
+    # Arrow pipe threads and Python UDF workers overlap across extra
+    # host cores, and the SMALL leg gains the most (local[1] measured
+    # ~1.3 effective cores), which biases the ratio downward vs what
+    # N→4N executors would show. Both variants measured with the
+    # same code/input (240k pages, adjacent windows):
+    #   bound   1107 → 3870 pairs/s  eff 0.874
+    #   unbound best-of-3 1271 → 3917 eff 0.770
+    # (history: before the AQE advisory fix the bound HIGH leg was
+    # task-starved — 2231 pairs/s, eff 0.75 — which is why earlier
+    # rounds recorded unbound numbers.)
+    lo_bind, hi_bind = _bind_ranges(n_small)
+    pages_path = _ensure_scaling_input(scaling_rows)
+
+    los, his = [], []
+    lo_secs, hi_secs = [], []
+    stopped = None
+
+    def _remaining() -> float:
+        return deadline - (time.time() - t_start)
+
+    def _estimate() -> float:
+        """Projected wall for one more alternating round, with headroom."""
+        est_lo = max(lo_secs) if lo_secs else 420.0 * scaling_rows / 100000
+        est_hi = max(hi_secs) if hi_secs else 130.0 * scaling_rows / 100000
+        return 1.3 * (est_lo + est_hi)
+
+    def _one_round() -> bool:
+        nonlocal stopped
+        if _remaining() < _estimate():
+            stopped = (f"deadline: {int(_remaining())}s left < "
+                       f"{int(_estimate())}s projected round")
+            return False
+        try:
+            t = time.time()
+            lo = _run_er_subprocess(sf_dir, n_small, scaling_rows, sp,
+                                    lo_bind, pages_path,
+                                    timeout=int(max(120, _remaining())))
+            lo_secs.append(time.time() - t)
+            los.append(round(lo["pairs_per_sec"], 1))
+            t = time.time()
+            hi = _run_er_subprocess(sf_dir, n_big, scaling_rows, sp,
+                                    hi_bind, pages_path,
+                                    timeout=int(max(120, _remaining())))
+            hi_secs.append(time.time() - t)
+            his.append(round(hi["pairs_per_sec"], 1))
+            return True
+        except Exception as exc:  # leg timed out or died: keep evidence
+            stopped = f"leg failed: {type(exc).__name__}"
+            return False
+
+    for _ in range(rounds):
+        if not _one_round():
+            break
+
+    # Dispersion escalation — SYMMETRIC and GATE-AGNOSTIC: when the
+    # attempts of EITHER leg disagree by > 20% (a contended host
+    # window), run one more alternating round on BOTH legs, up to
+    # max_rounds. The trigger reads only intra-leg spread, never the
+    # efficiency value, so it cannot bias toward the 0.8 target; the
+    # statistic stays best-of-N with the SAME N on both legs.
+    def _spread(xs):
+        return (max(xs) - min(xs)) / max(xs) if max(xs) else 0.0
+
+    while (stopped is None and los and len(los) < max_rounds
+           and (_spread(los) > 0.2 or _spread(his) > 0.2)):
+        if not _one_round():
+            break
+
+    if not los or not his:
+        return {"error": stopped or "no completed scaling legs"}
+    eff = max(his) / (4.0 * max(los)) if max(los) else 0.0
+    return {
+        "cores_low": n_small,
+        "cores_high": n_big,
+        "input_rows": scaling_rows,
+        "input_mode": "parquet_scan",
+        "shuffle_partitions": sp,
+        "pairs_per_sec_low": max(los),
+        "pairs_per_sec_high": max(his),
+        "low_leg_attempts": los,
+        "high_leg_attempts": his,
+        "cpu_bound_legs": bool(lo_bind),
+        **({"stopped_early": stopped} if stopped else {}),
+        "scaling_efficiency": round(eff, 3),
+    }
 
 
 if __name__ == "__main__":

@@ -56,7 +56,16 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("rleg-linkage").getOrCreate()
+    if SparkSession.getActiveSession() is not None:
+        # spark-submit path: respect the submitted session's conf
+        spark = SparkSession.builder.appName("rleg-linkage").getOrCreate()
+    else:
+        # plain `python jobs/run_linkage_job.py`: build the tuned session
+        # (AQE, Arrow, UTC, no console progress bars on stderr — the bars
+        # otherwise flood any harness that tails this job's output)
+        from rlerrorgenerator_spark.session import get_spark
+
+        spark = get_spark("rleg-linkage")
     spark.sparkContext.setLogLevel("WARN")
 
     from rlerrorgenerator_spark.pipeline import run_linkage

@@ -284,8 +284,13 @@ def minhash_blocks_verified(clean: DataFrame, dirty: DataFrame,
         )
         return keyed.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
 
-    ka = cap(band_keys(sig_a, "rid_a"))
-    kb = cap(band_keys(sig_b, "rid_b"))
+    # each side's band keys feed TWO consumers (hot-bucket count + the
+    # anti-join probe) — without plan truncation Catalyst re-evaluates
+    # the full signature aggregation per consumer (no exchange reuse
+    # across the broadcast boundary), the same trap minhash_dup_pairs
+    # documents; lazy localCheckpoint materializes each side once
+    ka = cap(band_keys(sig_a, "rid_a").localCheckpoint(eager=False))
+    kb = cap(band_keys(sig_b, "rid_b").localCheckpoint(eager=False))
     return (
         ka.join(kb, ["band", "bkey"])
         .groupBy("rid_a", "rid_b")

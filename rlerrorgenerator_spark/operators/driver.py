@@ -229,7 +229,11 @@ def mess_data(
             lineage = lineage.unionByName(ln)
             lineage_lazy_branches += 1
         if verbose:
-            print(f"[mess_data] {ts:02d} {row.error} n={n_errors}")
+            # Bernoulli path selects by rate and leaves n_errors unset —
+            # printing n=0 there misreads as "no errors injected"
+            amt = (f"rate={rate:.4f}" if not n_errors and rate
+                   else f"n={n_errors}")
+            print(f"[mess_data] {ts:02d} {row.error} {amt}")
         since_ckpt += 1
         if since_ckpt >= checkpoint_every and (exact or ts >= n_cell_ops):
             # exact path: per-stage snapshot discipline (plans reference

@@ -245,3 +245,92 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos", "rk")
     )
+
+
+def ivf_centroids(n_centroids: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 (Rademacher) IVF centroids from the md5 stream
+    ``ivf|c|d`` — the same cross-engine trick as ``rademacher_planes``:
+    DuckDB reproduces the signs bit-identically, so bucket assignment
+    and probe order become pure integer arithmetic an independent SQL
+    engine can replay. All centroids share norm √dim, so argmax of the
+    raw dot product equals argmax of cosine — no normalization needed."""
+    import hashlib
+
+    return [
+        [1 if int(hashlib.md5(f"ivf|{c}|{d}".encode())
+                  .hexdigest()[0], 16) % 2 == 0 else -1
+         for d in range(1, dim + 1)]
+        for c in range(n_centroids)
+    ]
+
+
+def _centroid_keys(qvec, cents: list[list[int]]) -> Column:
+    """Array of routing keys, one per centroid: ``dot·K + (K-1-c)`` over
+    the quantized integer vector — a single long that sorts by (dot
+    DESC, centroid id ASC), making ties deterministic across engines."""
+    n = len(cents)
+    keys = []
+    for c, p in enumerate(cents):
+        arr = F.array(*[F.lit(int(x)).cast("long") for x in p])
+        dot = F.aggregate(
+            F.zip_with(qvec, arr, lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda acc, v: acc + v,
+        )
+        keys.append(dot * n + (n - 1 - c))
+    return F.array(*keys)
+
+
+def ivf_topk_verified(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_centroids: int = 8, n_probe: int = 5,
+                      dim: int = 64, round_to: int = 6) -> DataFrame:
+    """IVF top-k with ORACLE-CHECKABLE routing: md5-Rademacher fixed
+    centroids (``ivf_centroids``) replace the trained k-means of
+    ``ivf_topk``, so corpus bucket assignment (argmax key) and the
+    query's ``n_probe`` probe list (top keys) are exact integer
+    arithmetic DuckDB replays bit-identically — the same ``_verified``
+    discipline as ``minhash_blocks_verified``. Same probe-join shape and
+    exact-cosine re-rank as the production ``ivf_topk``; only the
+    centroid source differs (fixed projections vs trained means)."""
+    cents = ivf_centroids(n_centroids, dim)
+
+    def keyed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec),
+            _centroid_keys(_quantize(F.col(vec_col)), cents).alias("keys"),
+        )
+
+    n = n_centroids
+
+    def _bucket_of(key) -> Column:
+        # centroid id from a routing key; pmod, not %: dot (hence key)
+        # can be negative and both engines' % follows the dividend sign
+        return (F.lit(n - 1) - F.pmod(key, F.lit(n))).cast("int")
+
+    c = keyed(corpus, "neighbor_id", "cv").select(
+        "neighbor_id", "cv",
+        # assignment = centroid id embedded in the max key
+        _bucket_of(F.array_max("keys")).alias("bucket"),
+    )
+    q = keyed(queries, "query_id", "qv").select(
+        "query_id", "qv",
+        F.explode(
+            F.transform(
+                F.slice(F.sort_array("keys", asc=False), 1, n_probe),
+                _bucket_of,
+            )
+        ).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cos"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )

@@ -66,6 +66,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(4 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout/stderr parseable: the driver tails bench/entry
+        # output for a JSON line, and local-mode progress bars flooded
+        # the round-3 tail (BENCH_r03 rc=124 recorded only bars)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
     for k, v in (extra_conf or {}).items():
