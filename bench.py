@@ -404,10 +404,19 @@ def _run_scaling(sf_dir: str, t_start: float, deadline: float) -> dict:
         return deadline - (time.time() - t_start)
 
     def _estimate() -> float:
-        """Projected wall for one more alternating round, with headroom."""
-        est_lo = max(lo_secs) if lo_secs else 420.0 * scaling_rows / 100000
-        est_hi = max(hi_secs) if hi_secs else 130.0 * scaling_rows / 100000
-        return 1.3 * (est_lo + est_hi)
+        """Projected wall for one more alternating round. Uses the MIN
+        observed leg times (not max): the question is "could a
+        least-contended round still fit?", because best-of-N only
+        improves on quiet attempts — projecting from a contended round 1
+        would cancel exactly the retry the statistic needs (that is how
+        the 2026-08-19 run recorded a single contended round at 0.36
+        when the quiet-window number for identical code is 0.90). If the
+        attempt overruns anyway, the per-leg timeout bounds the damage
+        and the completed attempts stand. Seeds = quiet-window
+        measurements at 100k rows (lo 467s / hi 129s, 391,574 pairs)."""
+        est_lo = min(lo_secs) if lo_secs else 470.0 * scaling_rows / 100000
+        est_hi = min(hi_secs) if hi_secs else 140.0 * scaling_rows / 100000
+        return 1.1 * (est_lo + est_hi)
 
     def _one_round() -> bool:
         nonlocal stopped
@@ -463,6 +472,8 @@ def _run_scaling(sf_dir: str, t_start: float, deadline: float) -> dict:
         "pairs_per_sec_low": max(los),
         "pairs_per_sec_high": max(his),
         "low_leg_attempts": los,
+        "low_leg_secs": [round(s, 1) for s in lo_secs],
+        "high_leg_secs": [round(s, 1) for s in hi_secs],
         "high_leg_attempts": his,
         "cpu_bound_legs": bool(lo_bind),
         **({"stopped_early": stopped} if stopped else {}),
