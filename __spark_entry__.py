@@ -780,6 +780,74 @@ def er_model_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def er_person_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The person-domain 23-feature pair matrix (`benchmarking/utils.R:
+    189-311` ``add_feature_vector``), ORACLE-CHECKED: the md5 persons
+    fixture (oracle_er.py::person_pair_fixture — abbreviation / lname
+    splice / dob day↔month swap perturbations, self + neighbor pairs)
+    run through the REAL linkage/person_pairs.py::add_person_features,
+    with a DuckDB oracle re-deriving every metric column including the
+    per-side name-frequency z-scores and a portable SQL Soundex.
+
+    Cross-engine gates (documented far-range divergences, same
+    discipline as er_scoring_distances):
+
+    - ``metric_{fname,lname}_jw_gated``: JW distance reported only
+      < 0.18 (⟺ similarity > 0.82) — our stringdist-style unconditional
+      prefix boost and DuckDB's standard Winkler agree exactly iff
+      jaro > 0.7, which jw > 0.82 implies under both definitions.
+    - ``metric_{fname,lname}_lev_gated`` and ``metric_dob_full_gated``:
+      our normalized OSA (restricted DL) vs DuckDB's UNRESTRICTED
+      damerau_levenshtein, reported only < 0.3.  OSA == DL is proven
+      exhaustively on every name pair the fixture can produce (pool ×
+      {pool, abbreviations, all x-splices} = 334k pairs, zero gate-range
+      divergences) and structurally for the equal-length len-10 dob
+      strings (< 0.3 ⇒ ≤ 2 edits, and an OSA/DL divergence needs an
+      insertion inside a transposed pair — impossible at equal length
+      under 3 edits).
+    - year/month/day components UNGATED: OSA == DL verified on the full
+      1..31 × 1..31 and 1930..2006 × 1930..2006 cross-products.
+    - z-scores rounded to 5 decimals (Welford-order stddev ulps),
+      exact-valued flags/counts unrounded.
+    """
+    from rlerrorgenerator_spark.linkage.person_pairs import add_person_features
+    from rlerrorgenerator_spark.oracle_er import person_pair_fixture
+
+    clean, dirty, pairs = person_pair_fixture(spark, sf_dir)
+    f = add_person_features(pairs, clean, dirty)
+
+    # Out-of-gate values map to a -1.0 sentinel (never NULL): the
+    # driver's value-compare sorts row tuples with columns ordered by
+    # NAME, so rid_a/rid_b land at the tuple END and a NULL in a leading
+    # gated column makes row ordering compare None against floats.
+    def osa_gate(c: str) -> F.Column:
+        return F.when(F.col(c) < 0.3, F.round(F.col(c), 5)).otherwise(F.lit(-1.0))
+
+    def jw_gate(c: str) -> F.Column:
+        return F.when(F.col(c) < 0.18, F.round(F.col(c), 4)).otherwise(F.lit(-1.0))
+
+    return f.select(
+        "rid_a", "rid_b",
+        osa_gate("metric_dob_full").alias("metric_dob_full_gated"),
+        F.round("metric_dob_year", 5).alias("metric_dob_year"),
+        F.round("metric_dob_month", 5).alias("metric_dob_month"),
+        F.round("metric_dob_day", 5).alias("metric_dob_day"),
+        "metric_dob_swap", "metric_age_diff_1", "metric_age_diff_2",
+        osa_gate("metric_fname_lev").alias("metric_fname_lev_gated"),
+        jw_gate("metric_fname_jw").alias("metric_fname_jw_gated"),
+        "metric_fname_soundex",
+        osa_gate("metric_lname_lev").alias("metric_lname_lev_gated"),
+        jw_gate("metric_lname_jw").alias("metric_lname_jw_gated"),
+        "metric_lname_soundex",
+        F.round("metric_ffreq_a", 5).alias("metric_ffreq_a"),
+        F.round("metric_ffreq_b", 5).alias("metric_ffreq_b"),
+        F.round("metric_lfreq_a", 5).alias("metric_lfreq_a"),
+        F.round("metric_lfreq_b", 5).alias("metric_lfreq_b"),
+        "metric_name_swap", "metric_n_female", "metric_n_male",
+        "metric_race_eq", "metric_race_wwbb", "metric_marriage",
+    ).orderBy("rid_a", "rid_b")
+
+
 def er_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental linkage oracle (linkage/incremental.py): dirty rows
     are split into two batches by doc-id parity; batch 1 is clustered,
@@ -941,7 +1009,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """49 entries — curated to the driver's 50-entry correctness window
+    """50 entries — curated to the driver's 50-entry correctness window
     (round 3 shipped 69 and the trailing 19 were silently unchecked).
     Window moves vs round 3:
 
@@ -957,7 +1025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (see rlerrorgenerator_spark/oracle_er.py::LINEAGE_FAMILIES for the
       op→family map and reference citations).
     - ADDED: er_resolution_links (best-links odds + 1-to-1, oracle),
-      er_model_f1 (MLlib classifier slot, rows-only self-check).
+      er_model_f1 (MLlib classifier slot, rows-only self-check),
+      er_person_features (the person-domain 23-feature matrix, oracle).
     """
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -990,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocking_minhash": er_blocking_minhash,
         "er_scoring_distances": er_scoring_distances,
         "er_resolution_links": er_resolution_links,
+        "er_person_features": er_person_features,
         "er_incremental_clusters": er_incremental_clusters,
         "er_pipeline_e2e": er_pipeline_e2e,
         "er_stream_incremental": er_stream_incremental,
@@ -1884,6 +1954,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS jw_gated
             FROM p ORDER BY rid_a, rid_b
         """,
+        "er_person_features": _person_features_oracle_sql(),
         "er_blocking_minhash": _minhash_block_sql(12, 6, 200),
         "er_blocking_snm": rf"""
             WITH {_BLOCKING_FIXTURE_SQL},
@@ -2055,3 +2126,9 @@ def _er_oracle_sql_entries() -> dict[str, str]:
     from rlerrorgenerator_spark.oracle_er import er_family_sql
 
     return er_family_sql()
+
+
+def _person_features_oracle_sql() -> str:
+    from rlerrorgenerator_spark.oracle_er import person_features_sql
+
+    return person_features_sql()

@@ -1161,3 +1161,209 @@ def er_family_sql() -> dict[str, str]:
     out["er_op_add_near_duplicates"] = \
         ER_ORACLE_OPS["add_near_duplicates"].sql
     return out
+
+
+# ------------------------------------------------- person-pair feature fixture
+
+# Fixture-derivation tokens (seed-independent: the derivation is part of
+# the fixture, not of any operator under test — same discipline as _PT).
+_PF = {"rc": "pers|rc|", "sel": "pfx|", "pos": "pfp|"}
+_RACE_POOL = ["w", "b", "a", "o"]
+
+
+def person_pair_fixture(spark: SparkSession, sf_dir: str):
+    """Deterministic (clean, dirty, pairs) for the ``er_person_features``
+    driver row. clean = the md5 persons fixture (`_persons_df` + dob +
+    race); dirty = clean with one md5-gated perturbation per quarter of
+    the rows (fname first-letter abbreviation / lname single-char splice
+    / dob day↔month swap); pairs = every self-pair (rid, rid) plus every
+    neighbor pair (p_k, p_{k+1}).  Both engines re-derive the fixture
+    bit-identically — :func:`person_features_sql` is the DuckDB mirror."""
+    base = _with_dob(_persons_df(spark, sf_dir))
+    race_pool = F.array(*[F.lit(x) for x in _RACE_POOL])
+    base = base.withColumn(
+        "race_code", F.element_at(race_pool, md5_mod(_PF["rc"], KEY, 4) + 1))
+    sel = md5_mod(_PF["sel"], KEY, 4)
+    pos0 = md5_mod(_PF["pos"], KEY, 12) % F.length("lname")
+    splice = F.concat(
+        F.col("lname").substr(F.lit(1), pos0), F.lit("x"),
+        F.col("lname").substr(pos0 + F.lit(2), F.lit(100)))
+    dirty = base.select(
+        F.col(KEY),
+        F.when(sel == 0, F.col("fname").substr(1, 1))
+         .otherwise(F.col("fname")).alias("fname"),
+        F.col("mname"),
+        F.when(sel == 1, splice).otherwise(F.col("lname")).alias("lname"),
+        F.when((sel == 2) & (F.dayofmonth("dob") <= 12),
+               F.make_date(F.year("dob"), F.dayofmonth("dob"), F.month("dob")))
+         .otherwise(F.col("dob")).alias("dob"),
+        F.col("birth_age"), F.col("gender_code"), F.col("race_code"),
+    )
+    self_pairs = base.select(F.col(KEY).alias("rid_a"),
+                             F.col(KEY).alias("rid_b"))
+    nxt = F.concat(
+        F.lit("p"),
+        (F.substring(F.col(KEY), 2, 20).cast("bigint") + 1).cast("string"))
+    neighbor = (
+        base.select(F.col(KEY).alias("rid_a"), nxt.alias("__n"))
+        .join(dirty.select(F.col(KEY).alias("rid_b")),
+              F.col("__n") == F.col("rid_b"))
+        .select("rid_a", "rid_b")
+    )
+    return base, dirty, self_pairs.unionByName(neighbor)
+
+
+def _sql_soundex(expr: str) -> str:
+    """Portable Soundex over ASCII-letter input — mirrors Spark's
+    ``UTF8String.soundex()`` (US English mapping with H/W = '7' skipped
+    without separating, vowels = '0' separating).  RE2 has no backrefs,
+    so same-code runs are collapsed by one regexp per digit.  Verified
+    against the Spark algorithm on every name the persons fixture can
+    produce (pool names, first-letter abbreviations, every x-splice)."""
+    case = ("CASE WHEN {c} IN ('B','F','P','V') THEN '1' "
+            "WHEN {c} IN ('C','G','J','K','Q','S','X','Z') THEN '2' "
+            "WHEN {c} IN ('D','T') THEN '3' WHEN {c} = 'L' THEN '4' "
+            "WHEN {c} IN ('M','N') THEN '5' WHEN {c} = 'R' THEN '6' "
+            "WHEN {c} IN ('H','W') THEN '7' ELSE '0' END")
+    codes = ("array_to_string(list_transform(str_split(upper(" + expr
+             + "),''), x -> " + case.format(c="x") + "), '')")
+    collapsed = f"replace({codes}, '7', '')"
+    for d in "0123456":
+        collapsed = f"regexp_replace({collapsed}, '{d}{d}+', '{d}', 'g')"
+    first = f"substr(upper({expr}),1,1)"
+    fcode = case.format(c=first)
+    digits = (f"replace(CASE WHEN ({fcode}) = '7' THEN {collapsed} "
+              f"ELSE substr({collapsed},2) END, '0','')")
+    return f"({first} || substr({digits} || '000', 1, 3))"
+
+
+def _sql_dln(a: str, b: str) -> str:
+    """Normalized restricted-DL distance mirror: DuckDB's
+    damerau_levenshtein is the UNRESTRICTED variant, equal to our OSA on
+    the gated range (see er_person_features docstring)."""
+    return (f"(damerau_levenshtein(coalesce({a},''), coalesce({b},''))::DOUBLE"
+            f" / greatest(length(coalesce({a},'')),"
+            f" length(coalesce({b},'')), 1))")
+
+
+def person_features_sql() -> str:
+    """DuckDB mirror of ``er_person_features``: fixture, per-side name
+    frequency z-scores (window count + global mean/stddev_samp), and all
+    23 reference feature columns (`benchmarking/utils.R:189-311`) with
+    the query's gates applied identically."""
+    races = _sql_list(_RACE_POOL)
+    from rlerrorgenerator_spark.linkage.person_pairs import SNAPSHOT_DATES
+    snap1, snap2 = SNAPSHOT_DATES
+    z = ("CASE WHEN STDDEV_SAMP({f}) OVER () > 0 THEN "
+         "(({f} - AVG({f}) OVER ()) / STDDEV_SAMP({f}) OVER ()) "
+         "ELSE 0.0 END")
+
+    def side_cte(src: str, out: str) -> str:
+        return f"""{out}0 AS (
+    SELECT *, (COUNT(*) OVER (PARTITION BY fname))::DOUBLE AS ffreq,
+           (COUNT(*) OVER (PARTITION BY lname))::DOUBLE AS lfreq
+    FROM {src}
+  ),
+  {out} AS (
+    SELECT *, {z.format(f='ffreq')} AS fz, {z.format(f='lfreq')} AS lz
+    FROM {out}0
+  )"""
+
+    # -1.0 sentinel (never NULL) outside the gate — mirrors the query
+    # side; NULLs in leading columns break the driver's row-tuple sort.
+    def dln_gated(a: str, b: str) -> str:
+        d = _sql_dln(a, b)
+        return f"CASE WHEN {d} < 0.3 THEN round({d}, 5) ELSE -1.0 END"
+
+    def jw_gated(a: str, b: str) -> str:
+        d = f"(1.0 - jaro_winkler_similarity(coalesce({a},''), coalesce({b},'')))"
+        return f"CASE WHEN {d} < 0.18 THEN round({d}, 4) ELSE -1.0 END"
+
+    def nlev(a: str, b: str) -> str:
+        return (f"(levenshtein(coalesce({a},''), coalesce({b},''))::DOUBLE"
+                f" / greatest(length(coalesce({a},'')),"
+                f" length(coalesce({b},'')), 1))")
+
+    def age_leg(snap: str, d: str) -> str:
+        return f"floor(date_diff('day', {d}, DATE '{snap}') / 365.25)"
+
+    return f"""
+        WITH {_PERSONS_SQL.strip()},
+        base AS (
+          SELECT rid, fname, mname, lname, birth_age, gender_code,
+                 list_element({races}, {_sql_mod(_PF['rc'], 'rid', 4)} + 1) AS race_code,
+                 ({_DOB_SQL}) AS dob,
+                 {_sql_mod(_PF['sel'], 'rid', 4)} AS sel,
+                 {_sql_mod(_PF['pos'], 'rid', 12)} AS ppos
+          FROM pers
+        ),
+        dirty AS (
+          SELECT rid,
+            CASE WHEN sel = 0 THEN substr(fname, 1, 1) ELSE fname END AS fname,
+            mname,
+            CASE WHEN sel = 1
+                 THEN substr(lname, 1, ppos % length(lname)) || 'x'
+                      || substr(lname, (ppos % length(lname)) + 2)
+                 ELSE lname END AS lname,
+            CASE WHEN sel = 2 AND day(dob) <= 12
+                 THEN make_date(year(dob), day(dob), month(dob))
+                 ELSE dob END AS dob,
+            birth_age, gender_code, race_code
+          FROM base
+        ),
+        {side_cte('base', 'ca')},
+        {side_cte('dirty', 'db_')},
+        pairs AS (
+          SELECT rid AS rid_a, rid AS rid_b FROM base
+          UNION ALL
+          SELECT b1.rid, b2.rid FROM base b1
+          JOIN db_ b2 ON b2.rid = 'p' || (substr(b1.rid, 2)::BIGINT + 1)::VARCHAR
+        ),
+        wide AS (
+          SELECT p.rid_a, p.rid_b,
+                 a.fname AS fname_a, a.lname AS lname_a, a.dob AS dob_a,
+                 a.birth_age AS age_a, a.gender_code AS g_a,
+                 a.race_code AS rc_a, a.fz AS fz_a, a.lz AS lz_a,
+                 b.fname AS fname_b, b.lname AS lname_b, b.dob AS dob_b,
+                 b.birth_age AS age_b, b.gender_code AS g_b,
+                 b.race_code AS rc_b, b.fz AS fz_b, b.lz AS lz_b
+          FROM pairs p
+          JOIN ca a ON a.rid = p.rid_a
+          JOIN db_ b ON b.rid = p.rid_b
+        )
+        SELECT rid_a, rid_b,
+          {dln_gated('dob_a::VARCHAR', 'dob_b::VARCHAR')} AS metric_dob_full_gated,
+          round({_sql_dln("year(dob_a)::VARCHAR", "year(dob_b)::VARCHAR")}, 5) AS metric_dob_year,
+          round({_sql_dln("month(dob_a)::VARCHAR", "month(dob_b)::VARCHAR")}, 5) AS metric_dob_month,
+          round({_sql_dln("day(dob_a)::VARCHAR", "day(dob_b)::VARCHAR")}, 5) AS metric_dob_day,
+          CASE WHEN day(dob_a) = month(dob_b) AND month(dob_a) = day(dob_b)
+                    AND day(dob_a) != month(dob_a)
+               THEN 1.0 ELSE 0.0 END::DOUBLE AS metric_dob_swap,
+          abs({age_leg(snap1, 'dob_a')} - {age_leg(snap1, 'dob_b')})::DOUBLE AS metric_age_diff_1,
+          abs({age_leg(snap2, 'dob_a')} - {age_leg(snap2, 'dob_b')})::DOUBLE AS metric_age_diff_2,
+          {dln_gated('fname_a', 'fname_b')} AS metric_fname_lev_gated,
+          {jw_gated('fname_a', 'fname_b')} AS metric_fname_jw_gated,
+          CASE WHEN {_sql_soundex('fname_a')} != {_sql_soundex('fname_b')}
+               THEN 1.0 ELSE 0.0 END::DOUBLE AS metric_fname_soundex,
+          {dln_gated('lname_a', 'lname_b')} AS metric_lname_lev_gated,
+          {jw_gated('lname_a', 'lname_b')} AS metric_lname_jw_gated,
+          CASE WHEN {_sql_soundex('lname_a')} != {_sql_soundex('lname_b')}
+               THEN 1.0 ELSE 0.0 END::DOUBLE AS metric_lname_soundex,
+          round(fz_a, 5) AS metric_ffreq_a,
+          round(fz_b, 5) AS metric_ffreq_b,
+          round(lz_a, 5) AS metric_lfreq_a,
+          round(lz_b, 5) AS metric_lfreq_b,
+          CASE WHEN {nlev('fname_a', 'lname_b')} < 0.15
+                    AND {nlev('lname_a', 'fname_b')} < 0.15
+               THEN 1.0 ELSE 0.0 END::DOUBLE AS metric_name_swap,
+          ((g_a = 'f')::INT + (g_b = 'f')::INT)::DOUBLE AS metric_n_female,
+          ((g_a = 'm')::INT + (g_b = 'm')::INT)::DOUBLE AS metric_n_male,
+          CASE WHEN rc_a = rc_b THEN 1.0 ELSE 0.0 END::DOUBLE AS metric_race_eq,
+          CASE WHEN (rc_a = 'w' AND rc_b = 'w') OR (rc_a = 'b' AND rc_b = 'b')
+               THEN 1.0 ELSE 0.0 END::DOUBLE AS metric_race_wwbb,
+          CASE WHEN lname_a != lname_b AND (g_a = 'f' OR g_b = 'f')
+                    AND age_a >= 20 AND age_b >= 20
+               THEN 1.0 ELSE 0.0 END::DOUBLE AS metric_marriage
+        FROM wide
+        ORDER BY rid_a, rid_b
+    """
