@@ -178,8 +178,15 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rlerrorgenerator_spark.functions.textops import with_winnow_fps
 
     docs = _load(spark, sf_dir, "documents")
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # size(fps)>0 filter (InferFiltersFromGenerate) and push it below the
+    # two winnow projections with everything inlined — the gram-hash
+    # transform lands INSIDE the window-slice lambda, turning the filter
+    # O(chars² · w) md5 calls per document (measured 115s → 2s at sf0.01).
+    # fps is provably non-empty (≥1 gram and ≥1 window for any text, see
+    # with_winnow_fps), so outer-explode is row-for-row identical.
     return with_winnow_fps(docs, "text", "fps", k=8, w=16).select(
-        "doc_id", F.explode("fps").alias("fp")
+        "doc_id", F.explode_outer("fps").alias("fp")
     )
 
 
@@ -229,12 +236,12 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     join eval-shingle set (broadcastable: |eval| ≪ |train|), distinct
     doc ids — the standard n-gram-overlap decontamination pass (as used
     for public LLM train/test splits), never all-pairs."""
-    from rlerrorgenerator_spark.functions.textops import word_shingles
+    from rlerrorgenerator_spark.functions.textops import exploded_shingles
 
     docs = _load(spark, sf_dir, "documents")
     k = 8
-    sh = docs.select("doc_id", "source",
-                     F.explode(word_shingles("text", k)).alias("g"))
+    sh = exploded_shingles(docs.select("doc_id", "source", "text"),
+                           "text", ["doc_id", "source"], k)
     eval_sh = sh.where(F.col("source") == "src0")                 .select(F.col("g").alias("g")).distinct()
     hits = (
         sh.where(F.col("source") != "src0")

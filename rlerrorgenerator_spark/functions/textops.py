@@ -196,6 +196,27 @@ def with_shingles(df: DataFrame, text_col, out_col: str, k: int = 5,
     ).drop("__toks__")
 
 
+def exploded_shingles(df: DataFrame, text_col, keep_cols: list,
+                      k: int = 5, out: str = "g") -> DataFrame:
+    """Scale-safe exploded shingle posting list — the shape every
+    inverted-index consumer (n-gram Jaccard, MinHash, decontamination)
+    should build from. Two traps avoided, both invisible at 300-char
+    sandbox docs and fatal on crawl-scale pages:
+
+    1. the token split is projected as a BOUND attribute (via
+       ``with_shingles``) so the slice lambda never re-evaluates it per
+       shingle position (the word_shingles PERF TRAP: O(tokens·split));
+    2. ``explode_outer``, not ``explode``: plain explode makes Catalyst
+       infer a ``size(arr) > 0`` filter (InferFiltersFromGenerate) and
+       push it below the projections with the shingle transform inlined
+       — a full duplicate evaluation per row (and O(chars²·w) in the
+       analogous winnow shape). Shingle arrays are provably non-empty
+       (``sequence(1, greatest(.., 1))``), so outer is row-identical.
+    """
+    step = with_shingles(df, text_col, "__sh__", k)
+    return step.select(*keep_cols, F.explode_outer("__sh__").alias(out))
+
+
 def repetition_features(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1):

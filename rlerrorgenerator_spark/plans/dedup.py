@@ -23,7 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rlerrorgenerator_spark.functions.textops import fingerprint, tokens, word_shingles
+from rlerrorgenerator_spark.functions.textops import (
+    exploded_shingles, fingerprint, tokens)
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
@@ -59,8 +60,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     corpus scale a handful of shingles appear everywhere and would square
     the join).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("g")
+    sh = exploded_shingles(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, ["id"], k
     )
     hot = sh.groupBy("g").count().where(F.col("count") > max_shingle_freq).select("g")
     # NOT checkpointed: the exploded posting list is ~400 rows/doc — at
@@ -112,8 +113,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     # (array_min(transform(...)) per hash) triggers Catalyst projection
     # collapse, inlining the shingle construction into each of the n
     # expressions (n× recompute per row).
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("g")
+    sh = exploded_shingles(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, ["id"], k
     )
     aggs = [
         F.min(_md5_u64(F.col("g"), f"mh{i}|")).alias(f"mh_{i}")
