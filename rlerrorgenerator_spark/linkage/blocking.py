@@ -44,7 +44,17 @@ def normalize_url(col) -> Column:
 def _cap_blocks(pairs_keyed: DataFrame, key: str, max_block_size: int) -> DataFrame:
     """Drop keys whose group exceeds ``max_block_size`` on either side —
     cheap distributed skew guard (count-per-key, broadcast the hot-key
-    blacklist)."""
+    blacklist).
+
+    The input plan is consumed TWICE (hot-key count + anti-join probe) and
+    Catalyst does not share a subtree between a broadcast build side and
+    the probe side — without truncation the whole upstream key computation
+    (for MinHash: the full signature aggregation) is evaluated twice.
+    Lazy localCheckpoint materializes it once; measured 37.5s → 17.3s on
+    the MinHash strategy at 100k pages / 4 cores, identical 101,363 pairs
+    (the same trap minhash_dup_pairs and minhash_blocks_verified already
+    guard against)."""
+    pairs_keyed = pairs_keyed.localCheckpoint(eager=False)
     hot = (
         pairs_keyed.groupBy(key).count()
         .where(F.col("count") > max_block_size)
