@@ -331,11 +331,42 @@ def main() -> None:
         # timings still parse; on a full run the final line below —
         # the same object plus "scaling" — supersedes this one.
         print(json.dumps(out), flush=True)
+        global _PARTIAL_OUT
+        _PARTIAL_OUT = out
+        _install_term_handler()
         spark.stop()
-        out["scaling"] = _run_scaling(sf_dir, t_start, deadline)
+        out["scaling"] = _run_scaling(sf_dir, t_start, deadline, out)
 
     print(json.dumps(out), flush=True)
     _dump_local(out)
+
+
+_PARTIAL_OUT: dict | None = None  # most-complete result at any instant
+
+
+def _install_term_handler() -> None:
+    """The driver runs `timeout N python bench.py` (round 3's rc=124 is
+    GNU timeout's exit code), and GNU timeout's default signal is
+    SIGTERM — catchable. Print the most-complete JSON banked so far
+    before dying, so a budget overrun degrades the artifact (partial
+    scaling attempts, `stopped_early` note) instead of truncating it.
+    The in-flight scaling-leg subprocess is orphaned by os._exit; it is
+    a finite job that exits on its own and nothing reads its output."""
+    import signal
+
+    def _h(signum, frame):
+        if _PARTIAL_OUT is not None:
+            try:
+                print(json.dumps(_PARTIAL_OUT), flush=True)
+                _dump_local(_PARTIAL_OUT)
+            except Exception:
+                pass
+        os._exit(124)
+
+    try:
+        signal.signal(signal.SIGTERM, _h)
+    except (ValueError, OSError):
+        pass  # non-main thread or exotic platform: insurance only
 
 
 def _dump_local(out: dict) -> None:
@@ -349,7 +380,8 @@ def _dump_local(out: dict) -> None:
         pass
 
 
-def _run_scaling(sf_dir: str, t_start: float, deadline: float) -> dict:
+def _run_scaling(sf_dir: str, t_start: float, deadline: float,
+                 base_out: dict | None = None) -> dict:
     # N vs 4N on the same input (driver note: "e.g. local[8] and
     # local[32], or N and 4N"). Default N=1: the dense-page workload
     # is compute-bound there, so the ratio measures the engine's
@@ -424,6 +456,39 @@ def _run_scaling(sf_dir: str, t_start: float, deadline: float) -> dict:
         est_hi = min(hi_secs + [seed_hi])
         return 1.1 * (est_lo + est_hi)
 
+    def _result(note: str | None) -> dict:
+        if not los or not his:
+            return {"error": note or "no completed scaling legs"}
+        eff = max(his) / (4.0 * max(los)) if max(los) else 0.0
+        return {
+            "cores_low": n_small,
+            "cores_high": n_big,
+            "input_rows": scaling_rows,
+            "input_mode": "parquet_scan",
+            "shuffle_partitions": sp,
+            "pairs_per_sec_low": max(los),
+            "pairs_per_sec_high": max(his),
+            "low_leg_attempts": los,
+            "low_leg_secs": [round(s, 1) for s in lo_secs],
+            "high_leg_secs": [round(s, 1) for s in hi_secs],
+            "high_leg_attempts": his,
+            "cpu_bound_legs": bool(lo_bind),
+            **({"stopped_early": note} if note else {}),
+            "scaling_efficiency": round(eff, 3),
+        }
+
+    def _bank() -> None:
+        """Refresh the SIGTERM-insurance snapshot after every completed
+        round (never mid-round: banking after the hi leg keeps the
+        attempt counts symmetric in any artifact the handler prints)."""
+        global _PARTIAL_OUT
+        if base_out is not None:
+            _PARTIAL_OUT = {
+                **base_out,
+                "scaling": _result("sigterm: driver budget hit mid-scaling; "
+                                   "completed rounds banked"),
+            }
+
     def _one_round() -> bool:
         nonlocal stopped
         if _remaining() < _estimate():
@@ -443,6 +508,7 @@ def _run_scaling(sf_dir: str, t_start: float, deadline: float) -> dict:
                                     timeout=int(max(120, _remaining())))
             hi_secs.append(time.time() - t)
             his.append(round(hi["pairs_per_sec"], 1))
+            _bank()
             return True
         except Exception as exc:  # leg timed out or died: keep evidence
             stopped = f"leg failed: {type(exc).__name__}"
@@ -466,25 +532,7 @@ def _run_scaling(sf_dir: str, t_start: float, deadline: float) -> dict:
         if not _one_round():
             break
 
-    if not los or not his:
-        return {"error": stopped or "no completed scaling legs"}
-    eff = max(his) / (4.0 * max(los)) if max(los) else 0.0
-    return {
-        "cores_low": n_small,
-        "cores_high": n_big,
-        "input_rows": scaling_rows,
-        "input_mode": "parquet_scan",
-        "shuffle_partitions": sp,
-        "pairs_per_sec_low": max(los),
-        "pairs_per_sec_high": max(his),
-        "low_leg_attempts": los,
-        "low_leg_secs": [round(s, 1) for s in lo_secs],
-        "high_leg_secs": [round(s, 1) for s in hi_secs],
-        "high_leg_attempts": his,
-        "cpu_bound_legs": bool(lo_bind),
-        **({"stopped_early": stopped} if stopped else {}),
-        "scaling_efficiency": round(eff, 3),
-    }
+    return _result(stopped)
 
 
 if __name__ == "__main__":
