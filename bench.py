@@ -69,6 +69,24 @@ def _warmup(spark) -> None:
     df.groupBy((F.col("id") % 7).alias("k")).count().collect()
 
 
+def _warmup_linkage(spark) -> None:
+    """Run the WHOLE linkage pipeline once at toy size (1.5k pages)
+    before the timed region: the first execution of each generated-code
+    shape pays janino compilation plus interpreted execution until the
+    JVM's C2 compiler kicks in on the hash/array/regex/Arrow kernels —
+    measured ~13s of a 4-core 100k-row leg's wall (run-twice
+    experiment, BENCH/BASELINE.md). Like JVM/executor startup this is a
+    once-per-cluster cost, not steady-state throughput, and it is paid
+    symmetrically by both scaling legs."""
+    from rlerrorgenerator_spark.pipeline import run_linkage
+
+    res = run_linkage(spark, n_rows=1500, seed=7, compute_clusters=True,
+                      exact=False, body_tokens=(200, 600))
+    res.candidates.count()
+    res.metrics.collect()
+    res.clusters.count()
+
+
 def _run_er_pipeline(spark, sf_dir: str, n_rows: int = 0,
                      pages_path: str | None = None) -> dict:
     """One full linkage run; returns timings + candidate-pair count.
@@ -91,6 +109,7 @@ def _run_er_pipeline(spark, sf_dir: str, n_rows: int = 0,
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         pages, exact = pages_from_documents(docs), True
     _warmup(spark)
+    _warmup_linkage(spark)
     t0 = time.time()
     res = run_linkage(spark, n_rows=n_rows or 2000, pages=pages, seed=42,
                       compute_clusters=True, exact=exact,

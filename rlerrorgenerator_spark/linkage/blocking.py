@@ -41,32 +41,54 @@ def normalize_url(col) -> Column:
     return F.regexp_replace(c, r"/$", "")
 
 
-def _cap_blocks(pairs_keyed: DataFrame, key: str, max_block_size: int) -> DataFrame:
+def _cap_blocks_two_sided(a: DataFrame, b: DataFrame, keys: list[str],
+                          max_block_size: int) -> tuple[DataFrame, DataFrame]:
     """Drop keys whose group exceeds ``max_block_size`` on either side —
     cheap distributed skew guard (count-per-key, broadcast the hot-key
     blacklist).
 
-    The input plan is consumed TWICE (hot-key count + anti-join probe) and
-    Catalyst does not share a subtree between a broadcast build side and
-    the probe side — without truncation the whole upstream key computation
-    (for MinHash: the full signature aggregation) is evaluated twice.
-    Lazy localCheckpoint materializes it once; measured 37.5s → 17.3s on
-    the MinHash strategy at 100k pages / 4 cores, identical 101,363 pairs
-    (the same trap minhash_dup_pairs and minhash_blocks_verified already
-    guard against)."""
-    pairs_keyed = pairs_keyed.localCheckpoint(eager=False)
-    hot = (
-        pairs_keyed.groupBy(key).count()
-        .where(F.col("count") > max_block_size)
-        .select(key)
+    Equivalence: capping each side against its OWN hot keys (the older
+    per-side form) and capping both sides against the union of EITHER
+    side's hot keys produce the same candidate PAIRS — a key hot on one
+    side contributes no pairs either way, because its rows vanish from
+    that side of the equi-join. The union form needs ONE count
+    aggregation + ONE broadcast for both sides instead of two of each;
+    at 100 TB that is one fewer full pass over the keyed rows, and on the
+    bench it halves the serial job launches per strategy.
+
+    Each side's plan is consumed TWICE (hot-key count + anti-join probe)
+    and Catalyst does not share a subtree between a broadcast build side
+    and the probe side — without truncation the whole upstream key
+    computation (for MinHash: the full signature aggregation) is
+    evaluated twice. Lazy localCheckpoint materializes each side once;
+    measured 37.5s → 17.3s on the MinHash strategy at 100k pages /
+    4 cores, identical 101,363 pairs (the same trap minhash_dup_pairs
+    and minhash_blocks_verified already guard against)."""
+    a = a.localCheckpoint(eager=False)
+    b = b.localCheckpoint(eager=False)
+    u = (
+        a.select(*keys).withColumn("__side", F.lit("a"))
+        .unionByName(b.select(*keys).withColumn("__side", F.lit("b")))
     )
-    return pairs_keyed.join(F.broadcast(hot), key, "left_anti")
+    hot = (
+        u.groupBy(*keys, "__side").count()
+        .where(F.col("count") > max_block_size)
+        .select(*keys).distinct()
+    )
+    hot = F.broadcast(hot)
+    return (a.join(hot, keys, "left_anti"), b.join(hot, keys, "left_anti"))
 
 
 def exact_blocks(clean: DataFrame, dirty: DataFrame, key_exprs: dict[str, Column] | None = None,
                  max_block_size: int = 100) -> DataFrame:
     """Equi-join candidates on each normalized key (reference's single-field
-    blocking unions, `utils.R:548-586`)."""
+    blocking unions, `utils.R:548-586`).
+
+    SINGLE PASS over each side for ALL key families: one projection
+    explodes (kname, bkey) structs, then one hot-key cap and ONE
+    equi-join on (kname, bkey) replace the per-key pipelines — the same
+    pairs, with one scan of each input instead of one per key and ~4×
+    fewer serial job launches (checkpoint/broadcast barriers)."""
     if key_exprs is None:
         key_exprs = {
             "url_norm": normalize_url("url"),
@@ -81,19 +103,27 @@ def exact_blocks(clean: DataFrame, dirty: DataFrame, key_exprs: dict[str, Column
                 F.regexp_replace(F.substring("text", 1, 1000), r"\s+", " "),
                 1, 24),
         }
-    out = None
-    for name, expr in key_exprs.items():
-        a = clean.select(F.col("url").alias("rid_a"), expr.alias("bkey")).where(
-            F.col("bkey").isNotNull() & (F.length("bkey") > 0)
+
+    def keyed(side: DataFrame, rid_col: str, alias: str) -> DataFrame:
+        structs = F.array(*[
+            F.struct(F.lit(name).alias("kname"), expr.alias("bkey"))
+            for name, expr in key_exprs.items()
+        ])
+        return (
+            side.select(F.col(rid_col).alias(alias), F.explode(structs).alias("kb"))
+            .select(alias, F.col("kb.kname").alias("kname"),
+                    F.col("kb.bkey").alias("bkey"))
+            .where(F.col("bkey").isNotNull() & (F.length("bkey") > 0))
         )
-        b = dirty.select(F.col("rid").alias("rid_b"), expr.alias("bkey")).where(
-            F.col("bkey").isNotNull() & (F.length("bkey") > 0)
-        )
-        a = _cap_blocks(a, "bkey", max_block_size)
-        b = _cap_blocks(b, "bkey", max_block_size)
-        pairs = a.join(b, "bkey").select("rid_a", "rid_b", F.lit(f"exact:{name}").alias("block"))
-        out = pairs if out is None else out.unionByName(pairs)
-    return out
+
+    a, b = _cap_blocks_two_sided(keyed(clean, "url", "rid_a"),
+                                 keyed(dirty, "rid", "rid_b"),
+                                 ["kname", "bkey"], max_block_size)
+    return (
+        a.join(b, ["kname", "bkey"])
+        .select("rid_a", "rid_b",
+                F.concat(F.lit("exact:"), F.col("kname")).alias("block"))
+    )
 
 
 def sorted_neighborhood_blocks(clean: DataFrame, dirty: DataFrame,
@@ -237,8 +267,11 @@ def minhash_blocks(clean: DataFrame, dirty: DataFrame, text_col: str = "text",
             F.col("__id").alias(rid_alias), F.explode(structs).alias("bk")
         ).select(rid_alias, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
 
-    ka = _cap_blocks(band_keys(sig_a, "rid_a"), "bkey", max_block_size)
-    kb = _cap_blocks(band_keys(sig_b, "rid_b"), "bkey", max_block_size)
+    # (band, bkey) grouping ≡ bkey grouping here (bkey is band-salted),
+    # and the two-sided cap needs one count + one broadcast for both sides
+    ka, kb = _cap_blocks_two_sided(band_keys(sig_a, "rid_a"),
+                                   band_keys(sig_b, "rid_b"),
+                                   ["band", "bkey"], max_block_size)
     return (
         ka.join(kb, ["band", "bkey"])
         .select("rid_a", "rid_b", F.lit("minhash").alias("block"))
