@@ -23,6 +23,8 @@ Conventions: the clean side exposes ``rid_a`` (its url), the dirty side
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import Column
@@ -194,6 +196,32 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
     112s for 12M shingles vs 1.3s this way) — and MinHash doesn't need
     distinct: min over a multiset equals min over its set."""
     k = max(2, shingle_k - 1)  # word shingles (see _shingles rationale)
+    if os.environ.get("SPARK_GRAFT_ARROW_KERNELS", "1") != "0":
+        # Vectorized fast path (functions/arrowhash.py): the expression
+        # form below is ~18 interpreted HOF passes per row (ArrayTransform
+        # is CodegenFallback — JFR measured it at ~35% of the 4-core
+        # scaling leg's samples together with the scoring transforms).
+        # One mapInArrow computes token hashes, shingle hashes and all
+        # n_hashes segment-mins as numpy passes over the Arrow buffers.
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from rlerrorgenerator_spark.functions.arrowhash import (
+            minhash_signature_batches,
+        )
+
+        pre = df.select(F.col(id_col).alias("__id"),
+                        F.coalesce(text_col, F.lit("")).alias("__text"))
+        out_schema = StructType(
+            [pre.schema.fields[0]]
+            + [StructField(f"mh_{i}", LongType(), True)
+               for i in range(n_hashes)]
+        )
+        return pre.mapInArrow(
+            lambda it: minhash_signature_batches(
+                it, text_col="__text", n_hashes=n_hashes,
+                shingle_k=k, seed=seed),
+            out_schema,
+        )
     # STRING-FREE, SHUFFLE-FREE signatures: hash tokens once, build the
     # per-row shingle-hash array (multi-arg xxhash64 over k consecutive
     # token hashes — no slice/concat string building), then each of the

@@ -24,11 +24,24 @@ one block (`SURVEY.md §4`).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 from rlerrorgenerator_spark.functions.similarity import jaro_winkler_udf, norm_levenshtein
 from rlerrorgenerator_spark.linkage.blocking import normalize_url
+
+
+def _arrow_kernels_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_ARROW_KERNELS", "1") != "0"
 
 PAIR_COLS = ["url", "lang", "warc_ts"]
 TEXT_PREFIX = 64
@@ -54,6 +67,33 @@ def attach_pair_attrs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame,
 
     def sided(df: DataFrame, key_col: str, alias: str) -> DataFrame:
         k = 4
+        if not exact_shingles and _arrow_kernels_enabled():
+            # Vectorized fast path (functions/arrowhash.py): the three
+            # HOF transforms + sample filter below are CodegenFallback —
+            # interpreted, boxing, ~35% of the 4-core leg's execution
+            # samples (JFR, round 4). One mapInArrow computes the sampled
+            # 32-bit shingle payload in a handful of numpy passes; every
+            # other _sided_select expression stays JVM codegen.
+            from rlerrorgenerator_spark.functions.arrowhash import (
+                sided_shingle_batches,
+            )
+
+            cols = list(dict.fromkeys([key_col, *PAIR_COLS]))  # url is both
+            pre = df.select(
+                *cols, F.coalesce("text", F.lit("")).alias("text"),
+            )
+            out_schema = StructType(
+                pre.schema.fields
+                + [StructField("__sh", ArrayType(IntegerType()), True),
+                   StructField("__shs", BooleanType(), True)]
+            )
+            mapped = pre.mapInArrow(
+                lambda it: sided_shingle_batches(it, text_col="text",
+                                                 shingle_k=k),
+                out_schema,
+            )
+            return _sided_select(mapped, key_col, alias,
+                                 F.col("__sh"), F.col("__shs"))
         # STRING-FREE shingle hashing: hash each token once, then derive
         # the k-shingle hash from k consecutive token hashes with one
         # multi-arg xxhash64 — no slice/concat string building. Building

@@ -14,12 +14,14 @@ import time
 cores = int(sys.argv[1])
 n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 60000
 pages_path = sys.argv[3] if len(sys.argv) > 3 else None
+sp = int(sys.argv[4]) if len(sys.argv) > 4 else None
 os.environ["SPARK_GRAFT_CPUS"] = str(cores)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from rlerrorgenerator_spark.session import get_spark
 
-spark = get_spark(app_name=f"profile-{cores}", cores=cores)
+spark = get_spark(app_name=f"profile-{cores}", cores=cores,
+                  shuffle_partitions=sp)
 spark.sparkContext.setLogLevel("ERROR")
 
 from pyspark.sql import functions as F
@@ -48,6 +50,8 @@ def mark(name):
     global t0
     now = time.time()
     t[name] = round(now - t0, 3)
+    # live stage boundary for external samplers (CPU-utilization probes)
+    print(f"MARK:{name}:{now:.3f}", file=sys.stderr, flush=True)
     t0 = now
 
 
