@@ -411,13 +411,16 @@ def _run_scaling(sf_dir: str, t_start: float, deadline: float,
     n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "1"))
     n_big = 4 * n_small
     # Input sized so parallel compute dominates the fixed per-job driver
-    # overheads (~15-20s/run measured; at 60k rows those overheads alone
-    # cap the measurable efficiency near 0.5) while the full symmetric
-    # protocol fits the driver's budget — 240k rows ran the 1-core leg
-    # ~850-1000s and round 3 timed out with NOTHING recorded (rc=124).
-    # 100k keeps the low leg ≈330-400s, still compute-dominated (the
-    # serial floor is <6% of the leg) per BENCH/BASELINE.md.
-    scaling_rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "100000"))
+    # overheads. History: 240k rows cost ~900-1000s per 1-core leg in
+    # round 3 (rc=124 under the driver budget), so round 4 briefly
+    # dropped to 100k — but the round-4 speedups (Arrow hash kernels,
+    # block-key materialization, JIT warmup) cut the 1-core leg to
+    # ~480s at 240k while shrinking the 4-core leg's parallel compute,
+    # so at 100k the fixed per-job floor dominates the FAST leg and the
+    # measured ratio understates the engine (0.69 at 100k vs 0.78+ at
+    # 240k, same code, quiet windows). 240k now fits the budget:
+    # ~650s/round × 2 rounds + ~300s headline < 1800s deadline.
+    scaling_rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "240000"))
     sp = max(4 * n_big, 16)  # identical partitioning at both levels
     # Host timing variance on this shared box (BENCH/BASELINE.md):
     # runs swing under neighbor contention (high leg more than low).
@@ -467,10 +470,11 @@ def _run_scaling(sf_dir: str, t_start: float, deadline: float,
         projection is safe for the artifact: a leg that overruns is
         bounded by the per-leg timeout (= remaining budget), completed
         attempts always stand, and the final JSON still prints inside
-        the deadline. Seeds = quiet-window measurements at 100k rows
-        (lo 467s / hi 129s, 391,574 pairs), scaled linearly in rows."""
-        seed_lo = 470.0 * scaling_rows / 100000
-        seed_hi = 140.0 * scaling_rows / 100000
+        the deadline. Seeds = quiet-window measurements at 240k rows
+        with the Arrow-kernel pipeline (lo 483.5s / hi 166.0s wall,
+        940,472 pairs), scaled linearly in rows."""
+        seed_lo = 202.0 * scaling_rows / 100000
+        seed_hi = 70.0 * scaling_rows / 100000
         est_lo = min(lo_secs + [seed_lo])
         est_hi = min(hi_secs + [seed_hi])
         return 1.1 * (est_lo + est_hi)

@@ -91,7 +91,8 @@ def test_no_budget_no_round(stub_env):
     """When even a least-contended round cannot fit, scaling stops
     BEFORE burning a leg, and says so."""
     calls, clock = _legs(stub_env, [(1000, 470), (4000, 130)] * 2)
-    res = bench._run_scaling("/x", clock["t"] - 1500, 1800)  # 300s left
+    # 200s left < the ~299s least-contended-round projection at 100k rows
+    res = bench._run_scaling("/x", clock["t"] - 1600, 1800)
     assert calls["i"] == 0
     assert "error" in res and "deadline" in res["error"]
 
