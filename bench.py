@@ -146,7 +146,7 @@ print("BENCHJSON:" + json.dumps(out))
 """
 
 
-_FIXTURE_VERSION = "v2"          # bump when synth_pages output changes
+_FIXTURE_VERSION = "v3"          # bump when synth_pages output changes
 _SCALING_BODY_TOKENS = (200, 600)
 
 
@@ -179,8 +179,12 @@ def _ensure_scaling_input(n_rows: int, seed: int = 42) -> str:
                                                os.cpu_count() or 8)))
     spark.sparkContext.setLogLevel("ERROR")
     tmp = base + f".tmp{os.getpid()}"
+    # 16 files: the scan inherits the file layout as its partitioning,
+    # and 7 files (the old layout) packs a 4-core leg into 2 ragged
+    # waves (4+3 tasks ~9.5s each — one core idle half the stage). At
+    # crawl scale the input has thousands of files and this is moot.
     synth_pages(spark, n_rows, seed=seed, body_tokens=bt) \
-        .write.mode("overwrite").parquet(tmp)
+        .repartition(16).write.mode("overwrite").parquet(tmp)
     spark.stop()
     try:
         os.rename(tmp, base)

@@ -128,6 +128,8 @@ def _hash_tokens(flat: pa.Array, seed: int = 42) -> np.ndarray:
 
 def _tokenize(texts: pa.Array, *, lower: bool, pattern: str,
               regex: bool) -> pa.Array:
+    if len(texts) == 0 or pa.types.is_null(texts.type):
+        texts = pa.array([""] * len(texts), type=pa.string())
     texts = pc.fill_null(texts, "")
     if lower:
         texts = pc.utf8_lower(texts)
@@ -223,17 +225,29 @@ def sampled_shingles32(texts: pa.Array, *, shingle_k: int = 4,
     flat_sh, n_sh = _shingle_hashes(flat_th, n_tok, shingle_k, seed)
     # arithmetic >> 32 of the signed view == Spark shiftright(h,32) cast int
     h32 = (flat_sh.view(np.int64) >> 32).astype(np.int32)
+    n = len(n_sh)
     use_sample = n_sh >= sample_threshold
-    keep = np.ones(len(h32), dtype=bool)
-    sampled_rows = np.repeat(use_sample, n_sh)
-    keep[sampled_rows] = (h32[sampled_rows] % 4) == 0
-    starts = np.concatenate(([0], np.cumsum(n_sh)))[:-1]
-    kept_per_row = (
-        np.add.reduceat(keep.astype(np.int64), starts)
-        if len(keep) else np.zeros(len(n_sh), dtype=np.int64)
-    )
-    # reduceat quirk: a zero-length segment reads the NEXT element — but
-    # every row has n_sh >= 1 by construction, so segments are non-empty
+    # SORTED-DISTINCT per row: downstream Jaccard treats the arrays as
+    # sets anyway (array_intersect emits set semantics), and pre-deduped
+    # sides let add_features compute |a∪b| as |a|+|b|−|a∩b| instead of a
+    # second per-pair hash-set build (array_union). One lexsort here
+    # replaces ~|pairs| OpenHashSet constructions in the scoring stage.
+    row_id = np.repeat(np.arange(n), n_sh)
+    order = np.lexsort((h32, row_id))
+    h32 = h32[order]
+    row_id = row_id[order]
+    if len(h32):
+        first = np.ones(len(h32), dtype=bool)
+        first[1:] = (h32[1:] != h32[:-1]) | (row_id[1:] != row_id[:-1])
+    else:
+        first = np.zeros(0, dtype=bool)
+    keep = first.copy()
+    # h32/row_id are in sorted order now — derive the per-element sample
+    # mask from the sorted row_id, not the pre-sort repeat layout
+    sampled_rows = use_sample[row_id] if len(row_id) else row_id.astype(bool)
+    keep[sampled_rows] &= (h32[sampled_rows] % 4) == 0
+    kept_per_row = (np.bincount(row_id[keep], minlength=n)
+                    if len(keep) else np.zeros(n, dtype=np.int64))
     out_off = np.concatenate(([0], np.cumsum(kept_per_row))).astype(np.int32)
     values = pa.array(h32[keep], type=pa.int32())
     lists = pa.ListArray.from_arrays(pa.array(out_off, type=pa.int32()), values)

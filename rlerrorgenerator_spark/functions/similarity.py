@@ -188,6 +188,22 @@ def norm_levenshtein(c1: Column, c2: Column) -> Column:
     )
 
 
+def norm_levenshtein_capped(c1: Column, c2: Column, threshold: int) -> Column:
+    """``norm_levenshtein`` for GATED consumers: any normalized distance
+    whose raw edit count exceeds ``threshold`` behaves identically to 1.0
+    downstream (the score's content gates cut off at 0.25 × a 64-char
+    prefix = 16 edits), so the bounded built-in — O(n·threshold) with
+    early exit instead of the full O(n·m) DP table — computes the same
+    score. Spark's UTF8String byte-walking in the three per-pair
+    Levenshtein calls measured ~27% of the 4-core scaling leg's
+    execution samples (JFR)."""
+    lev = F.levenshtein(c1, c2, threshold)
+    return F.when(lev < 0, F.lit(1.0)).otherwise(
+        lev.cast("double")
+        / F.greatest(F.length(c1), F.length(c2), F.lit(1)).cast("double")
+    )
+
+
 def osa_distance(s1: str, s2: str) -> int:
     """Restricted Damerau-Levenshtein (optimal string alignment) —
     stringdist's ``method='osa'``/``'dl'`` as used by the reference's

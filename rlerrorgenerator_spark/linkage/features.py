@@ -36,7 +36,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from rlerrorgenerator_spark.functions.similarity import jaro_winkler_udf, norm_levenshtein
+from rlerrorgenerator_spark.functions.similarity import (
+    jaro_winkler_udf,
+    norm_levenshtein,
+    norm_levenshtein_capped,
+)
 from rlerrorgenerator_spark.linkage.blocking import normalize_url
 
 
@@ -165,7 +169,7 @@ def _sided_select(step: DataFrame, key_col: str, alias: str,
     )
 
 
-def add_features(pairs: DataFrame) -> DataFrame:
+def add_features(pairs: DataFrame, exact_shingles: bool = False) -> DataFrame:
     """Compute the metric_* columns on a widened pair table."""
     un_a, un_b = normalize_url("url_a"), normalize_url("url_b")
     tp_a, tp_b = F.col("tp_a"), F.col("tp_b")
@@ -187,7 +191,43 @@ def add_features(pairs: DataFrame) -> DataFrame:
         F.filter(F.col("sh_b"), lambda h: F.pmod(h, F.lit(4)) == 0),
     ).otherwise(F.col("sh_b"))
     inter = F.size(F.array_intersect(eff_a, eff_b)).cast("double")
-    union = F.size(F.array_union(eff_a, eff_b)).cast("double")
+    if exact_shingles or not _arrow_kernels_enabled():
+        union = F.size(F.array_union(eff_a, eff_b)).cast("double")
+    else:
+        # kernel-path arrays are already DEDUPED per side (arrowhash
+        # emits sorted distinct values), so |a ∪ b| = |a| + |b| − |a ∩ b|
+        # — array_union's second per-pair hash-set build is pure waste
+        # (OpenHashSet get/rehash measured ~4% of the 4-core leg's JFR
+        # samples). The exact_shingles oracle path keeps array_union:
+        # its arrays carry duplicates and its DuckDB re-derivation
+        # computes the set union.
+        union = (F.size(eff_a) + F.size(eff_b)).cast("double") - inter
+    fast = not exact_shingles and _arrow_kernels_enabled()
+    if fast:
+        # Bounded Levenshtein (early-exit O(n·t)) wherever the score's
+        # consumers gate the value anyway — see norm_levenshtein_capped.
+        # url_lev_abs: the score zeroes url evidence beyond 3 edits and
+        # hard-gates at 2, so every value >3 is interchangeable; map the
+        # bounded built-in's -1 overflow marker to 4.
+        lv1 = F.levenshtein(un_a, un_b, 3)
+        lv2 = F.levenshtein(F.lower("url_a"), F.lower("url_b"), 3)
+        url_lev_abs = F.least(
+            F.when(lv1 < 0, 4).otherwise(lv1),
+            F.when(lv2 < 0, 4).otherwise(lv2),
+        ).cast("double")
+        # text/swap prefix distances are gated at 0.25 × the 64-char
+        # prefix = 16 edits
+        text_lev = norm_levenshtein_capped(tp_a, tp_b, 16)
+        swap_lev = norm_levenshtein_capped(
+            tp_a, F.substring(F.coalesce("lang_b", F.lit("")), 1, TEXT_PREFIX), 16)
+    else:
+        url_lev_abs = F.least(
+            F.levenshtein(un_a, un_b),
+            F.levenshtein(F.lower("url_a"), F.lower("url_b")),
+        ).cast("double")
+        text_lev = norm_levenshtein(tp_a, tp_b)
+        swap_lev = norm_levenshtein(
+            tp_a, F.substring(F.coalesce("lang_b", F.lit("")), 1, TEXT_PREFIX))
     return (
         pairs.withColumn("metric_url_jw", jaro_winkler_udf(un_a, un_b))
         .withColumn("metric_url_lev", norm_levenshtein(un_a, un_b))
@@ -195,20 +235,11 @@ def add_features(pairs: DataFrame) -> DataFrame:
         # the scheme/"www." makes normalization strip one side but not the
         # other (lev 4-12 for what is really a 1-edit difference); the raw
         # comparison still sees 1 edit.
-        .withColumn(
-            "metric_url_lev_abs",
-            F.least(
-                F.levenshtein(un_a, un_b),
-                F.levenshtein(F.lower("url_a"), F.lower("url_b")),
-            ).cast("double"),
-        )
-        .withColumn("metric_text_lev", norm_levenshtein(tp_a, tp_b))
+        .withColumn("metric_url_lev_abs", url_lev_abs)
+        .withColumn("metric_text_lev", text_lev)
         # swap-flag analogue (`utils.R:250-254` fname↔lname swap): does the
         # dirty row's lang field hold the clean row's text?
-        .withColumn(
-            "metric_swap_lev",
-            norm_levenshtein(tp_a, F.substring(F.coalesce("lang_b", F.lit("")), 1, TEXT_PREFIX)),
-        )
+        .withColumn("metric_swap_lev", swap_lev)
         .withColumn(
             "metric_text_jaccard",
             F.when(union > 0, inter / union).otherwise(F.lit(0.0)),
@@ -292,5 +323,6 @@ def score_pairs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame,
     ``exact_shingles=True`` scores with full unsampled shingle sets
     (exact Jaccard; the cross-engine verification mode)."""
     out = add_match_prob(add_features(
-        attach_pair_attrs(candidates, clean, dirty, exact_shingles)))
+        attach_pair_attrs(candidates, clean, dirty, exact_shingles),
+        exact_shingles))
     return out.drop("sh_a", "sh_b", "shs_a", "shs_b", "tp_a", "tp_b")

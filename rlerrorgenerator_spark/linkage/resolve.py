@@ -91,6 +91,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
             .drop("__hot")
             .localCheckpoint(eager=True)
         )
+    return _cc_loop(sym, labels, hot, n_hot,
+                    sym_salted if n_hot else None,
+                    salt_factor, max_iter)
+
+
+def _cc_loop(sym, labels, hot, n_hot, sym_salted, salt_factor,
+             max_iter) -> DataFrame:
     for rnd in range(max_iter):
         # 1) hash-to-min message pass: every node adopts the min component
         #    seen across its neighborhood

@@ -14,6 +14,7 @@ lineage + metrics".
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -100,6 +101,8 @@ def run_linkage(
     dirty, lineage = mess_data(clean, cfg, seed=seed, ckpt=ckpt, exact=exact,
                                amount_mult=amount_mult,
                                checkpoint_every=1 if exact else 4)
+    if os.environ.get("SPARK_GRAFT_STAGE_DIRTY", "0") == "1":
+        dirty = ckpt.stage(dirty, "dirty_staged")
     candidates = ckpt.stage(
         build_candidates(clean, dirty, use_minhash=use_minhash), "candidates"
     )

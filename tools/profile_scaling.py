@@ -38,9 +38,10 @@ from rlerrorgenerator_spark.sources.pages import prep_pages, synth_pages
 # identical warmup to bench.py's timed protocol: JVM/codegen/Arrow/Python
 # worker spin-up is a fixed per-cluster cost, not steady-state throughput —
 # without this it lands in the first stage and skews the 4c:1c attribution
-from bench import _warmup
+from bench import _warmup, _warmup_linkage
 
 _warmup(spark)
+_warmup_linkage(spark)
 
 t = {}
 t0 = time.time()
