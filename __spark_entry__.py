@@ -732,20 +732,24 @@ def er_resolution_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def er_model_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trainable ML classifier slot (capability parity with the
-    reference's caret RF/SVM/keras-NN family, `benchmarking/utils.R:
-    916-995`): fit the MLlib logistic-regression pipeline
-    (linkage/models.py — impute-0 → assemble → z-scale → LR, distributed
-    training, no driver-side collect) on the e2e fixture's metric_*
-    features with a DETERMINISTIC md5 train/holdout split, score the
-    holdout at the reference's 0.5 rule (`utils.R:362-364`), and report
-    holdout F1 with a target_met gate. Rows-only by contract: MLlib
-    training is iterative float optimization no SQL engine reproduces
-    bit-identically — the row itself carries the quality evidence, the
-    same discipline as ann_ivf_topk."""
+    """Trainable ML classifier slot — the reference's caret model FAMILY
+    (`benchmarking/utils.R:916-995` trains RF / svmLinear / svmRadial +
+    a keras NN, `standard_n.R:125-188`): one row per MLlib pipeline from
+    linkage/models.py (impute-0 → assemble → z-scale → classifier;
+    distributed training, no driver-side collect) — logistic regression
+    (probability-emitting linear default), RandomForest (caret RF) and
+    MultilayerPerceptron (the keras-NN slot) — on the e2e fixture's
+    metric_* features with a DETERMINISTIC md5 train/holdout split.
+    Each row reports holdout F1 + rank-statistic AUC (utils.R:1005-1047
+    computes AUC via ROCR; metrics.auc_metrics is the same quantity)
+    scored at the reference's 0.5 rule (`utils.R:362-364`) with a
+    target_met gate. Rows-only by contract: MLlib training is iterative
+    float optimization no SQL engine reproduces bit-identically — the
+    rows themselves carry the quality evidence, the same discipline as
+    er_op_calibration."""
     from rlerrorgenerator_spark.linkage.blocking import build_candidates
     from rlerrorgenerator_spark.linkage.features import score_pairs
-    from rlerrorgenerator_spark.linkage.metrics import label_pairs
+    from rlerrorgenerator_spark.linkage.metrics import auc_metrics, label_pairs
     from rlerrorgenerator_spark.linkage.models import (
         predict_match_prob,
         train_match_model,
@@ -761,30 +765,40 @@ def er_model_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature_cols = sorted(c for c in labeled.columns
                           if c.startswith("metric_"))
     # deterministic 75/25 split keyed on the pair ids (not randomSplit,
-    # whose partitioning-dependent sampling would make the row flap)
+    # whose partitioning-dependent sampling would make the row flap);
+    # materialized once — three model fits reuse the same split
     split = md5_mod("mlsplit|", F.concat("rid_a", F.lit("|"), "rid_b"), 4)
-    train = labeled.where(split < 3)
-    test = labeled.where(split == 3)
-    model = train_match_model(train, feature_cols, model="logreg")
-    pred = predict_match_prob(model, test, feature_cols)
-    tp = F.sum((F.col("prediction") & F.col("label")).cast("long"))
-    fp = F.sum((F.col("prediction") & ~F.col("label")).cast("long"))
-    fn = F.sum((~F.col("prediction") & F.col("label")).cast("long"))
-    agg = pred.agg(
-        F.count("*").alias("n_test"), tp.alias("tp"), fp.alias("fp"),
-        fn.alias("fn"),
-    )
-    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
-    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
-    f1 = 2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12))
+    train = labeled.where(split < 3).localCheckpoint(eager=True)
+    test = labeled.where(split == 3).localCheckpoint(eager=True)
     n_train = train.count()
-    return agg.select(
-        F.lit("logreg").alias("model"),
-        F.lit(n_train).alias("n_train"),
-        "n_test", "tp", "fp", "fn",
-        F.round(f1, 6).alias("holdout_f1"),
-        (f1 >= 0.95).alias("target_met"),
-    )
+    rows = []
+    for name in ("logreg", "rf", "mlp"):
+        model = train_match_model(train, feature_cols, model=name)
+        pred = predict_match_prob(model, test, feature_cols)
+        tp = F.sum((F.col("prediction") & F.col("label")).cast("long"))
+        fp = F.sum((F.col("prediction") & ~F.col("label")).cast("long"))
+        fn = F.sum((~F.col("prediction") & F.col("label")).cast("long"))
+        agg = pred.agg(
+            F.count("*").alias("n_test"), tp.alias("tp"), fp.alias("fp"),
+            fn.alias("fn"),
+        )
+        prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+        rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+        f1 = 2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12))
+        auc = auc_metrics(pred, "match_prob").select(
+            F.round("auc", 6).alias("holdout_auc"))
+        rows.append(agg.crossJoin(auc).select(
+            F.lit(name).alias("model"),
+            F.lit(n_train).alias("n_train"),
+            "n_test", "tp", "fp", "fn",
+            F.round(f1, 6).alias("holdout_f1"),
+            "holdout_auc",
+            (f1 >= 0.95).alias("target_met"),
+        ))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("model")
 
 
 def er_person_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -892,17 +906,29 @@ def er_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-4-shingle Jaccard, lang/ts evidence), the weighted gated score,
     the 0.5 decision, lineage truth and the confusion-matrix metrics.
     A green row certifies the flagship pipeline's decisions pair-for-pair
-    in an independent engine — not just its components."""
+    in an independent engine — not just its components.
+
+    Also carries the clerical-review / threshold-search summary
+    (`benchmarking/utils.R:1050-1081,1121-1160` via
+    metrics.review_threshold_summary): review band at PPV/NPV ≥ 0.95 and
+    the lowest threshold reaching precision ≥ 0.99, re-derived by the
+    oracle with the same bounded cumulative windows over 5-decimal
+    probability buckets."""
     from rlerrorgenerator_spark.linkage.blocking import build_candidates
     from rlerrorgenerator_spark.linkage.features import score_pairs
-    from rlerrorgenerator_spark.linkage.metrics import label_pairs, pairwise_metrics
+    from rlerrorgenerator_spark.linkage.metrics import (
+        label_pairs,
+        pairwise_metrics,
+        review_threshold_summary,
+    )
 
     clean, dirty = _blocking_fixture(spark, sf_dir)
     candidates = build_candidates(clean, dirty, use_minhash=False)
     scored = score_pairs(candidates, clean, dirty, exact_shingles=True)
-    labeled = label_pairs(scored, dirty)
+    labeled = label_pairs(scored, dirty).localCheckpoint(eager=False)
     m = pairwise_metrics(labeled)
-    return m.select(
+    review = review_threshold_summary(labeled)
+    return m.crossJoin(review).select(
         "tp", "fp", "fn", "tn", "n_pairs",
         F.round("brier", 6).alias("brier"),
         F.round("precision", 6).alias("precision"),
@@ -911,6 +937,11 @@ def er_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("accuracy", 6).alias("accuracy"),
         F.round("specificity", 6).alias("specificity"),
         F.round("npv", 6).alias("npv"),
+        F.round("review_lower", 5).alias("review_lower"),
+        F.round("review_upper", 5).alias("review_upper"),
+        "n_accept", "n_reject", "n_review",
+        F.round("review_pct", 6).alias("review_pct"),
+        F.round("thr_precision", 5).alias("thr_precision"),
     )
 
 
@@ -1829,6 +1860,33 @@ def oracle_sql() -> dict[str, str]:
                      avg(pow(least(greatest(p, 0.0), 1.0)
                              - (CASE WHEN label THEN 1.0 ELSE 0.0 END), 2)) AS brier
               FROM prob
+            ),
+            -- review-percent + threshold search (utils.R:1050-1081,
+            -- 1121-1160): same 5-decimal probability buckets and bounded
+            -- cumulative windows as metrics.review_threshold_summary
+            bucket AS (
+              SELECT round(p, 5) AS pb, count(*)::BIGINT AS n,
+                     sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS ny
+              FROM prob GROUP BY 1
+            ),
+            cum AS (
+              SELECT pb, n, ny,
+                     sum(ny) OVER (ORDER BY pb DESC)
+                       / sum(n) OVER (ORDER BY pb DESC) AS ppv,
+                     sum(n - ny) OVER (ORDER BY pb ASC)
+                       / sum(n) OVER (ORDER BY pb ASC) AS npv_c,
+                     sum(n) OVER (ORDER BY pb DESC) AS cum_ge,
+                     sum(n) OVER (ORDER BY pb ASC) AS cum_le
+              FROM bucket
+            ),
+            rev AS (
+              SELECT coalesce(min(CASE WHEN ppv >= 0.95 THEN pb END), 1.0) AS review_upper,
+                     coalesce(max(CASE WHEN npv_c >= 0.95 THEN pb END), 0.0) AS review_lower,
+                     coalesce(max(CASE WHEN ppv >= 0.95 THEN cum_ge END), 0)::BIGINT AS n_accept,
+                     coalesce(max(CASE WHEN npv_c >= 0.95 THEN cum_le END), 0)::BIGINT AS n_reject,
+                     sum(n)::BIGINT AS total,
+                     coalesce(min(CASE WHEN ppv >= 0.99 THEN pb END), 1.0) AS thr_precision
+              FROM cum
             )
             SELECT tp, fp, fn, tn, n_pairs,
                    round(brier, 6) AS brier,
@@ -1838,8 +1896,15 @@ def oracle_sql() -> dict[str, str]:
                          / greatest((tp / greatest(tp + fp, 1)) + (tp / greatest(tp + fn, 1)), 1e-12), 6) AS f1,
                    round((tp + tn) / greatest(tp + tn + fp + fn, 1), 6) AS accuracy,
                    round(tn / greatest(tn + fp, 1), 6) AS specificity,
-                   round(tn / greatest(tn + fn, 1), 6) AS npv
-            FROM agg
+                   round(tn / greatest(tn + fn, 1), 6) AS npv,
+                   round(review_lower, 5) AS review_lower,
+                   round(review_upper, 5) AS review_upper,
+                   n_accept, n_reject,
+                   greatest(total - n_accept - n_reject, 0)::BIGINT AS n_review,
+                   round(greatest(total - n_accept - n_reject, 0)
+                         / greatest(total, 1), 6) AS review_pct,
+                   round(thr_precision, 5) AS thr_precision
+            FROM agg CROSS JOIN rev
         """,
         # best-links odds resolution + 1-to-1 (utils.R:426-470, :368-389)
         # over the SAME bit-identical per-pair probabilities the e2e
@@ -2073,6 +2138,7 @@ def _e2e_prob_sql() -> str:
                           ELSE 0.0 END AS jac,
                      CASE WHEN c.lang IS NULL OR d.lang IS NULL THEN 0.5
                           WHEN c.lang = d.lang THEN 1.0 ELSE 0.0 END AS lang_eq,
+                     abs(c.ts_sec - d.ts_sec)::DOUBLE / 86400.0 AS ts_days,
                      (substring(cand.rid_b, 3) = right(cand.rid_a, 8)) AS label
               FROM cand
               JOIN clean c ON c.url = cand.rid_a
@@ -2090,7 +2156,13 @@ def _e2e_prob_sql() -> str:
                             CASE WHEN jac >= 0.5 THEN jac ELSE 0.0 END,
                             CASE WHEN swap_lev <= 0.25 THEN 1.0 - swap_lev ELSE 0.0 END)
                         + 0.05 * lang_eq
-                        + 0.05 * 1.0) AS p
+                        -- ts evidence: identical division order to the
+                        -- Spark formula (features.py add_match_prob) so
+                        -- the doubles stay bit-identical; the fixture's
+                        -- warc_ts is epoch + doc_id % 31536000, so
+                        -- cross-doc pairs (SNM neighbors) carry a real
+                        -- nonzero ts_days
+                        + 0.05 * (1.0 / (1.0 + ts_days / 30.0))) AS p
               FROM feat
             )"""
 
@@ -2108,7 +2180,8 @@ _BLOCKING_FIXTURE_SQL = """
               SELECT lower('https://' || source || '.example.com/d/'
                            || lpad(doc_id::VARCHAR, 8, '0')) AS url,
                      trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text,
-                     lang
+                     lang,
+                     (doc_id % 31536000)::BIGINT AS ts_sec
               FROM documents
             ),
             dirty AS (
@@ -2124,7 +2197,8 @@ _BLOCKING_FIXTURE_SQL = """
                             || lpad(doc_id::VARCHAR, 8, '0')
                      END) AS url,
                      trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text,
-                     lang
+                     lang,
+                     (doc_id % 31536000)::BIGINT AS ts_sec
               FROM documents
             )"""
 

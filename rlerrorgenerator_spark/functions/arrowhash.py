@@ -94,12 +94,15 @@ def _string_buffer_views(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndar
 
 def _hash_tokens(flat: pa.Array, seed: int = 42) -> np.ndarray:
     """uint64 hash per token: the two u64 words of a 16-byte zero-padded
-    prefix plus the length, mixed multiplicatively and avalanched once.
-    Tokens sharing a 16-byte prefix AND length collide — statistically
-    irrelevant for Jaccard/MinHash over word shingles (the collision
-    merges two shingles out of hundreds), and the pass count is what
-    matters: each numpy op is a full sweep over all tokens in the batch,
-    so this is ~14 sweeps where a per-word xxh64 chain costs ~60."""
+    prefix, the last ≤8 bytes (suffix word) and the length, mixed
+    multiplicatively and avalanched once. The suffix word exists for
+    long-common-prefix corpora — URLs, hex ids, agglutinative words —
+    where prefix+length alone would collide SYSTEMATICALLY (not just
+    statistically) and inflate the sampled-shingle Jaccard; with it,
+    colliding tokens must share prefix-16, length AND tail-8, which is
+    back in statistical-noise territory for word shingles. Pass count is
+    what matters: each numpy op is a full sweep over all tokens in the
+    batch, so this is ~22 sweeps where a per-word xxh64 chain costs ~60."""
     m = len(flat)
     if m == 0:
         return np.empty(0, dtype=np.uint64)
@@ -118,9 +121,18 @@ def _hash_tokens(flat: pa.Array, seed: int = 42) -> np.ndarray:
                     for i in range(9)], dtype=np.uint64)
     words[:, 0] &= lut[np.minimum(cap, 8)]
     words[:, 1] &= lut[np.maximum(np.minimum(cap - 8, 8), 0)]
+    # suffix word: the last ≤8 bytes (overlaps the prefix for short
+    # tokens — harmless for hashing; masked to the valid byte count)
+    suf = np.empty((m, 8), dtype=np.uint8)
+    suf_starts = starts + np.maximum(lens - 8, 0)
+    for j in range(8):
+        suf[:, j] = dp[suf_starts + j]
+    sword = suf.view(np.uint64).ravel()
+    sword &= lut[np.minimum(lens, 8)]
     with np.errstate(over="ignore"):
         h = words[:, 0] * P1
         h ^= _rotl(words[:, 1] * P2, 29)
+        h ^= _rotl(sword * P4, 41)
         h ^= lens.astype(np.uint64) * P5
         h ^= _U64(seed) * P3
         return _avalanche(h)
@@ -152,7 +164,14 @@ def _token_hashes(texts: pa.Array, *, lower: bool, pattern: str,
     list_off = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
         toks.offset: toks.offset + len(toks) + 1
     ].astype(np.int64)
-    flat = toks.values
+    # toks.values spans the PARENT child buffer: rebase explicitly to the
+    # window this (possibly sliced/offset) ListArray references so
+    # len(flat) == Σ n_tok holds for any upstream kernel output, not just
+    # zero-based arrays (a misaligned flat would silently scatter token
+    # hashes across rows in _shingle_hashes)
+    flat = toks.values.slice(int(list_off[0]),
+                             int(list_off[-1] - list_off[0]))
+    list_off = list_off - list_off[0]
     return _hash_tokens(flat, seed=seed), np.diff(list_off)
 
 

@@ -321,7 +321,20 @@ def score_pairs(candidates: DataFrame, clean: DataFrame, dirty: DataFrame,
     match_prob + prediction. Heavy payload columns (texts, shingle arrays)
     are dropped from the output — the scored table checkpoints lean.
     ``exact_shingles=True`` scores with full unsampled shingle sets
-    (exact Jaccard; the cross-engine verification mode)."""
+    (exact Jaccard; the cross-engine verification mode).
+
+    Scored-output contract, Arrow-kernel fast path (the default,
+    ``SPARK_GRAFT_ARROW_KERNELS`` unset or ``1``): the persisted distance
+    metrics are CAPPED at their score gates — ``metric_url_lev_abs``
+    saturates at 4 (the score zeroes url evidence beyond 3 edits) and
+    ``metric_text_lev`` / ``metric_swap_lev`` report 1.0 for any raw
+    prefix distance > 16 (the 0.25 × 64-char gate). ``match_prob`` and
+    ``prediction`` are provably unchanged by the caps (every consumer
+    gates below them), but anything downstream that treats these three
+    columns as TRUE normalized distances must either use the
+    ``exact_shingles``/expression path or tolerate the saturated range;
+    a cross-mode diff of the scored table will show divergent metric
+    values on capped pairs by design."""
     out = add_match_prob(add_features(
         attach_pair_attrs(candidates, clean, dirty, exact_shingles),
         exact_shingles))

@@ -221,6 +221,64 @@ def review_pct_grid(labeled: DataFrame,
     )
 
 
+def review_threshold_summary(labeled: DataFrame, ppv_target: float = 0.95,
+                             npv_target: float = 0.95,
+                             precision_target: float = 0.99,
+                             prob_col: str = "match_prob") -> DataFrame:
+    """One-row, collect-free review-percent + threshold-search summary —
+    the driver-visible form of ``calc_review_pct`` /
+    ``find_threshold_for_metric`` (`/root/reference/benchmarking/
+    utils.R:1050-1081,1121-1160`), designed to crossJoin onto the e2e
+    metrics row so an independent SQL engine can re-derive it with the
+    same bounded windows.
+
+    Semantics follow ``review_pct_grid``: accept/reject counts are the
+    LARGEST qualifying cumulative sets (``max(cum_ge WHERE ppv ≥ t)``),
+    review = total − accepted − rejected; the reported thresholds are the
+    min/max qualifying bucket probabilities (with a non-monotonic ppv
+    curve the extreme threshold and the largest set can sit on different
+    buckets — both engines apply the identical formula, so the row stays
+    cross-engine exact). ``thr_precision`` is the lowest threshold whose
+    accept-set precision ≥ ``precision_target`` (max recall at that
+    precision). Everything runs over the bounded ``_prob_buckets`` table
+    — one shuffle plus bounded windows, no partition-less window over raw
+    pairs and no driver collect."""
+    from pyspark.sql import Window
+
+    per = _prob_buckets(labeled, prob_col)
+    wd = Window.orderBy(F.desc("p"))
+    wa = Window.orderBy(F.asc("p"))
+    cum = (
+        per.withColumn("ppv", F.sum("ny").over(wd) / F.sum("n").over(wd))
+        .withColumn(
+            "npv", F.sum(F.col("n") - F.col("ny")).over(wa) / F.sum("n").over(wa)
+        )
+        .withColumn("cum_ge", F.sum("n").over(wd))
+        .withColumn("cum_le", F.sum("n").over(wa))
+    )
+    agg = cum.agg(
+        F.coalesce(F.min(F.when(F.col("ppv") >= ppv_target, F.col("p"))),
+                   F.lit(1.0)).alias("review_upper"),
+        F.coalesce(F.max(F.when(F.col("npv") >= npv_target, F.col("p"))),
+                   F.lit(0.0)).alias("review_lower"),
+        F.coalesce(F.max(F.when(F.col("ppv") >= ppv_target, F.col("cum_ge"))),
+                   F.lit(0)).alias("n_accept"),
+        F.coalesce(F.max(F.when(F.col("npv") >= npv_target, F.col("cum_le"))),
+                   F.lit(0)).alias("n_reject"),
+        F.sum("n").alias("total"),
+        F.coalesce(F.min(F.when(F.col("ppv") >= precision_target, F.col("p"))),
+                   F.lit(1.0)).alias("thr_precision"),
+    )
+    n_review = F.greatest(
+        F.col("total") - F.col("n_accept") - F.col("n_reject"), F.lit(0))
+    return agg.select(
+        "review_lower", "review_upper", "n_accept", "n_reject",
+        n_review.alias("n_review"),
+        (n_review / F.greatest(F.col("total"), F.lit(1))).alias("review_pct"),
+        "thr_precision",
+    )
+
+
 def roc_table(labeled: DataFrame, prob_col: str = "match_prob") -> DataFrame:
     """ROC points (threshold, tpr, fpr, precision) per distinct probability
     (`utils.R:1163-1190` builds the same table via ROCR). Bucketed scan —

@@ -31,10 +31,19 @@ def test_token_hash_boundaries():
     # (no neighbor-byte leakage through the zero-tail gathers)
     b = _hash_tokens(pa.array(["zzzzzz", "abc"]))
     assert b[1] == a[0]
-    # prefix collision beyond 16 bytes at equal length is documented
+    # the suffix word separates equal-length shared-16-byte-prefix tokens
+    # (URLs/hex ids — the systematic collision class ADVICE r4 flagged)
     c = _hash_tokens(pa.array(["x" * 16 + "AAAA", "x" * 16 + "BBBB",
                                "x" * 15 + "AAAA"]))
-    assert c[0] == c[1] and c[0] != c[2]
+    assert c[0] != c[1] and c[0] != c[2] and c[1] != c[2]
+    # remaining documented collision: same prefix-16, length AND tail-8,
+    # differing only in middle bytes — statistical noise for word shingles
+    d = _hash_tokens(pa.array(["x" * 16 + "A" + "y" * 8,
+                               "x" * 16 + "B" + "y" * 8]))
+    assert d[0] == d[1]
+    # suffix overlapping the prefix on short tokens stays consistent
+    e = _hash_tokens(pa.array(["abc", "abd", "ab"]))
+    assert len(np.unique(e)) == 3
 
 
 def test_token_hash_uniform():
@@ -97,22 +106,21 @@ def test_sampled_shingles_contract():
 
 
 @pytest.mark.usefixtures("spark")
-def test_pipeline_mode_equivalence(spark):
+def test_pipeline_mode_equivalence(spark, monkeypatch):
     """Expression path and kernel path produce the same blocking recall
     and scoring decisions at small scale (same candidates is NOT
     required — the hash families differ — but the pipeline-level F1 and
     the exact/SNM-covered candidate core must agree)."""
-    import os
-
     from rlerrorgenerator_spark.pipeline import run_linkage
 
     res = {}
     for mode in ("1", "0"):
-        os.environ["SPARK_GRAFT_ARROW_KERNELS"] = mode
+        # monkeypatch (not os.environ writes): a pre-existing user/CI
+        # value is restored even when run_linkage raises mid-loop
+        monkeypatch.setenv("SPARK_GRAFT_ARROW_KERNELS", mode)
         r = run_linkage(spark, n_rows=600, seed=11, compute_clusters=False,
                         exact=False, body_tokens=(40, 80))
         m = r.metrics.collect()[0]
         res[mode] = (r.candidates.count(), m.f1)
-    os.environ.pop("SPARK_GRAFT_ARROW_KERNELS", None)
     assert res["1"][1] == pytest.approx(res["0"][1], abs=0.02)
     assert res["1"][0] == pytest.approx(res["0"][0], rel=0.05)

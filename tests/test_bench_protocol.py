@@ -35,16 +35,18 @@ def stub_env(monkeypatch):
 
 def _legs(monkeypatch, schedule):
     """Install a stub leg runner fed from `schedule`: a list of
-    (pairs_per_sec, wall_secs) consumed in call order
+    (pairs_per_sec, wall_secs[, host_load]) consumed in call order
     (lo, hi, lo, hi, ...). wall_secs is simulated by advancing a fake
-    clock, not by sleeping."""
+    clock, not by sleeping; host_load defaults to a quiet 0.02."""
     calls = {"i": 0, "cores": []}
     clock = {"t": 1000.0}
 
     monkeypatch.setattr(bench.time, "time", lambda: clock["t"])
 
     def fake_leg(sf_dir, cores, n_rows, sp, bind, pages, timeout=3600):
-        pps, wall = schedule[calls["i"]]
+        entry = schedule[calls["i"]]
+        pps, wall = entry[0], entry[1]
+        load = entry[2] if len(entry) > 2 else 0.02
         calls["i"] += 1
         calls["cores"].append(cores)
         if wall > timeout:
@@ -52,7 +54,8 @@ def _legs(monkeypatch, schedule):
             import subprocess
             raise subprocess.TimeoutExpired(cmd="leg", timeout=timeout)
         clock["t"] += wall
-        return {"pairs_per_sec": pps, "f1": 0.999, "n_candidates": 391574}
+        return ({"pairs_per_sec": pps, "f1": 0.999,
+                 "n_candidates": 391574}, load)
 
     monkeypatch.setattr(bench, "_run_er_subprocess", fake_leg)
     return calls, clock
@@ -110,6 +113,47 @@ def test_dispersion_escalation_is_symmetric_and_capped(stub_env):
     assert len(res["low_leg_attempts"]) == 3
     assert len(res["high_leg_attempts"]) == 3
     assert res["pairs_per_sec_high"] == 4000  # best-of-N, same N both legs
+
+
+def test_host_load_escalation_on_correlated_contention(stub_env):
+    """Regression pin for the round-4 artifact: BOTH hi attempts ran in
+    mildly contended windows (~30% slow, intra-leg spread < 20% — the
+    dispersion trigger is blind to correlated contention), but the
+    host-load gauge saw busy neighbor CPUs during the best attempt →
+    one more symmetric round, which lands a quiet hi leg."""
+    calls, clock = _legs(
+        stub_env,
+        [(2245, 470, 0.03), (6173, 187, 0.45),   # hi contended (load .45)
+         (2203, 490, 0.03), (5729, 203, 0.41),   # spread 7.2% — no disp.
+         (2240, 470, 0.02), (7900, 150, 0.02)])  # quiet third round
+    res = bench._run_scaling("/x", clock["t"], 5000)
+    assert len(res["high_leg_attempts"]) == 3
+    assert res["pairs_per_sec_high"] == 7900
+    assert res["high_leg_host_load"] == [0.45, 0.41, 0.02]
+    assert res["scaling_efficiency"] == pytest.approx(
+        7900 / (4 * 2245), abs=1e-3)
+
+
+def test_host_load_trigger_reads_best_attempt_only(stub_env):
+    """A contended NON-best attempt must not escalate: best-of-N already
+    discards it, so another round would spend budget for nothing."""
+    calls, clock = _legs(
+        stub_env,
+        [(1000, 470, 0.02), (4000, 130, 0.02),   # quiet bests
+         (850, 530, 0.50), (3400, 150, 0.50)])   # contended non-bests
+    res = bench._run_scaling("/x", clock["t"], 5000)
+    assert len(res["low_leg_attempts"]) == 2     # no third round
+    assert res["scaling_efficiency"] == 1.0
+
+
+def test_watch_cpus_complement(monkeypatch):
+    """The gauge watches exactly the schedulable CPUs OUTSIDE the leg's
+    bind range, and is off for unbound legs."""
+    monkeypatch.setattr(bench.os, "sched_getaffinity",
+                        lambda pid: set(range(8)), raising=False)
+    assert bench._watch_cpus("3-6") == [0, 1, 2, 7]
+    assert bench._watch_cpus("2-2") == [0, 1, 3, 4, 5, 6, 7]
+    assert bench._watch_cpus(None) == []
 
 
 def test_timed_out_leg_keeps_banked_attempts(stub_env):

@@ -79,6 +79,46 @@ def test_review_grid_and_roc(labeled):
     assert roc[0.8].fpr == pytest.approx(0.25)
 
 
+def test_review_threshold_summary(labeled):
+    """Collect-free one-row form (utils.R:1050-1081,1121-1160): counts
+    follow grid semantics, thresholds are the extreme qualifying bucket
+    probabilities — hand-computed on the 8-pair fixture."""
+    from rlerrorgenerator_spark.linkage.metrics import review_threshold_summary
+
+    r = review_threshold_summary(labeled).collect()[0]
+    # desc ppv curve: 1, 1, 1, .75, .8, … → qualifying {.95,.9,.85}
+    assert r.review_upper == pytest.approx(0.85)
+    assert r.n_accept == 3
+    # asc npv curve: 1, 1, 1, .75, … → qualifying {.1,.2,.4}
+    assert r.review_lower == pytest.approx(0.4)
+    assert r.n_reject == 3
+    assert r.n_review == 2
+    assert r.review_pct == pytest.approx(0.25)
+    # precision ≥ 0.99 first reached at 0.85 (excludes the 0.8 negative)
+    assert r.thr_precision == pytest.approx(0.85)
+
+
+def test_review_threshold_summary_degenerate(spark):
+    """No qualifying buckets → sentinel thresholds (1.0/0.0) and a full
+    review band; all-positive input → zero review."""
+    from rlerrorgenerator_spark.linkage.metrics import review_threshold_summary
+
+    # every bucket mixes labels 50/50 → ppv/npv never reach 0.95
+    mixed = spark.createDataFrame(
+        [(str(i), 0.5 + 0.001 * (i % 3), i % 2 == 0) for i in range(12)],
+        ["rid_a", "match_prob", "label"],
+    )
+    r = review_threshold_summary(mixed).collect()[0]
+    assert (r.review_upper, r.review_lower) == (1.0, 0.0)
+    assert r.n_review == 12 and r.review_pct == pytest.approx(1.0)
+    allpos = spark.createDataFrame(
+        [(str(i), 0.9, True) for i in range(5)],
+        ["rid_a", "match_prob", "label"],
+    )
+    r = review_threshold_summary(allpos).collect()[0]
+    assert r.n_accept == 5 and r.n_review == 0
+
+
 def test_no_global_window_over_pairs(labeled):
     """The cumulative scans must window over the bucketed prob table, not
     the raw pair table: distinct-prob cardinality bounds the single task."""
