@@ -46,26 +46,35 @@ def normalize_url(col) -> Column:
 def _cap_blocks_two_sided(a: DataFrame, b: DataFrame, keys: list[str],
                           max_block_size: int) -> tuple[DataFrame, DataFrame]:
     """Drop keys whose group exceeds ``max_block_size`` on either side —
-    cheap distributed skew guard (count-per-key, broadcast the hot-key
-    blacklist).
+    the explicit skew guard in front of every block equi-join.
 
-    Equivalence: capping each side against its OWN hot keys (the older
-    per-side form) and capping both sides against the union of EITHER
-    side's hot keys produce the same candidate PAIRS — a key hot on one
-    side contributes no pairs either way, because its rows vanish from
-    that side of the equi-join. The union form needs ONE count
-    aggregation + ONE broadcast for both sides instead of two of each;
-    at 100 TB that is one fewer full pass over the keyed rows, and on the
-    bench it halves the serial job launches per strategy.
+    Default (window form): each side filters itself with a per-key count
+    window — ``count() OVER (PARTITION BY keys)`` then
+    ``count ≤ max_block_size``. No driver participation at all: no
+    hot-list collect, no broadcast build, no checkpoint, and the window's
+    hash exchange on ``keys`` is exactly the partitioning the downstream
+    pair join needs, so Catalyst reuses it (one exchange per side total).
+    Each side has a single consumer, so the double-evaluation trap that
+    forced lazy localCheckpoints on the broadcast form (signature
+    aggregation re-run under the build AND probe sides) cannot occur.
+    Per-side capping also matches the cross-engine oracles' SQL
+    (``bkey NOT IN (SELECT … HAVING count > N)`` per side) row-for-row.
 
-    Each side's plan is consumed TWICE (hot-key count + anti-join probe)
-    and Catalyst does not share a subtree between a broadcast build side
-    and the probe side — without truncation the whole upstream key
-    computation (for MinHash: the full signature aggregation) is
-    evaluated twice. Lazy localCheckpoint materializes each side once;
-    measured 37.5s → 17.3s on the MinHash strategy at 100k pages /
-    4 cores, identical 101,363 pairs (the same trap minhash_dup_pairs
-    and minhash_blocks_verified already guard against)."""
+    ``SPARK_GRAFT_WINDOW_CAPS=0`` restores the broadcast-blacklist form
+    (one union-side count + one broadcast + anti-joins, lazy-checkpointed
+    per side) for A/B measurement. Pair-set equivalence of the two forms:
+    a key hot on one side contributes no pairs either way, because its
+    rows vanish from that side of the equi-join."""
+    if os.environ.get("SPARK_GRAFT_WINDOW_CAPS", "1") == "1":
+        def cap(side: DataFrame) -> DataFrame:
+            w = Window.partitionBy(*keys)
+            return (
+                side.withColumn("__bc", F.count(F.lit(1)).over(w))
+                .where(F.col("__bc") <= max_block_size)
+                .drop("__bc")
+            )
+
+        return cap(a), cap(b)
     a = a.localCheckpoint(eager=False)
     b = b.localCheckpoint(eager=False)
     u = (

@@ -43,13 +43,17 @@ def find_best_links(scored: DataFrame, odds: float = 0.4,
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20,
-                         hot_degree: int = 1_000_000,
+                         hot_degree: int | None = 1_000_000,
                          salt_factor: int = 16) -> DataFrame:
     """(src, dst) string edges → (id, component) with component = min id.
 
     Hash-to-min: labels ← min(own, min over neighbors); iterate to fixed
     point. Deterministic (min on string ids). Each round localCheckpoints
-    to truncate lineage; convergence via an amortized changed-count.
+    lazily — the amortized convergence count is the action that
+    materializes the preceding round(s), so a 2-round graph costs ~2
+    jobs, not 4 (count-per-round plus checkpoint-per-round was ~35% of
+    the cluster stage's wall at benchmark scale, pure job-scheduling
+    floor).
 
     Skew (north rule: "salted, AQE-tuned shuffles with explicit skew-key
     splitting"): the min-label aggregation combines map-side, so hot
@@ -62,6 +66,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     skew-join splitting covers residual imbalance). The min result is
     unaffected by the split — detection is one degree aggregation before
     the loop and is skipped entirely when no hot node exists.
+    ``hot_degree=None`` skips the detection job itself — for callers
+    whose edge source STATICALLY bounds degree (the blocking layer's
+    per-strategy hot-block caps guarantee ≤ ~600 candidate edges per id,
+    six orders below the salting threshold); crawl-scale callers with
+    unbounded link graphs keep the default detection on.
     """
     # lazy localCheckpoints: both materialize inside round 0's first job
     # (plan truncation without two extra standalone jobs)
@@ -73,6 +82,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=False)
     )
+    if hot_degree is None:
+        return _cc_loop(sym, labels, None, 0, None, salt_factor, max_iter)
     hot = (
         sym.groupBy("src").count().where(F.col("count") > hot_degree)
         .select(F.col("src").alias("__hot"))
@@ -134,7 +145,12 @@ def _cc_loop(sym, labels, hot, n_hot, sym_salted, salt_factor,
             prop.join(rep, prop["component"] == rep["rep_id"], "left")
             .select("id", F.coalesce("rep_comp", F.col("component")).alias("component"))
         )
-        jumped = jumped.localCheckpoint(eager=True)
+        # LAZY checkpoint: plan truncation without a standalone job — the
+        # convergence count below is the materializing action, so a
+        # check round costs ONE job (materialize + compare) instead of
+        # two, and a non-check round costs zero jobs (its work folds
+        # into the next check round's materialization).
+        jumped = jumped.localCheckpoint(eager=False)
         # convergence check amortized over every 2nd round (each count()
         # is a full driver job barrier; round 0 virtually never converges,
         # and pointer jumping finishes small-diameter graphs in 2-3
@@ -152,12 +168,17 @@ def _cc_loop(sym, labels, hot, n_hot, sym_salted, salt_factor,
     return labels
 
 
-def clusters_from_links(links: DataFrame, all_ids: DataFrame | None = None) -> DataFrame:
+def clusters_from_links(links: DataFrame, all_ids: DataFrame | None = None,
+                        bounded_degree: bool = False) -> DataFrame:
     """Accepted links → (id, cluster_id) via transitive closure; isolated
     ids (no accepted link) become singleton clusters when ``all_ids``
-    (1-column) is given."""
+    (1-column) is given. ``bounded_degree=True`` skips hot-node
+    detection — valid when the links come through the blocking layer,
+    whose per-strategy hot-block caps statically bound any id's degree
+    far below the salting threshold."""
     edges = links.select(F.col("rid_a").alias("src"), F.col("rid_b").alias("dst"))
-    comp = connected_components(edges)
+    comp = connected_components(edges,
+                                hot_degree=None if bounded_degree else 1_000_000)
     if all_ids is not None:
         # dedup: callers union id universes that overlap (pages rids ARE
         # clean urls for in-place rows), and a duplicated id would emit

@@ -136,7 +136,11 @@ def run_linkage(
         # duplicate clusters, where one clean row rightly matches several
         # dirty rows with near-equal probability.
         accepted = scored.where(F.col("prediction")).select("rid_a", "rid_b", "match_prob")
-        clusters = clusters_from_links(accepted, all_ids)
+        # bounded_degree: these links exist only through build_candidates,
+        # whose hot-block caps bound any id's degree (≤ ~600) — the CC
+        # hot-node detection job would scan the edge set to learn a fact
+        # the blocking layer already guarantees
+        clusters = clusters_from_links(accepted, all_ids, bounded_degree=True)
     else:
         clusters = links.select(
             F.col("rid_a").alias("id"), F.col("rid_a").alias("cluster_id")

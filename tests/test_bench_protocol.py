@@ -136,24 +136,44 @@ def test_host_load_escalation_on_correlated_contention(stub_env):
 
 def test_host_load_trigger_reads_best_attempt_only(stub_env):
     """A contended NON-best attempt must not escalate: best-of-N already
-    discards it, so another round would spend budget for nothing."""
+    discards it, so another round would spend budget for nothing.
+    (Deadline sized so the budget-filling rule cannot add a round —
+    this test isolates the host-load trigger.)"""
     calls, clock = _legs(
         stub_env,
         [(1000, 470, 0.02), (4000, 130, 0.02),   # quiet bests
          (850, 530, 0.50), (3400, 150, 0.50)])   # contended non-bests
-    res = bench._run_scaling("/x", clock["t"], 5000)
+    res = bench._run_scaling("/x", clock["t"], 1800)
     assert len(res["low_leg_attempts"]) == 2     # no third round
     assert res["scaling_efficiency"] == 1.0
 
 
+def test_budget_filling_rounds_use_leftover_deadline(stub_env):
+    """Quiet triggers + leftover budget must NOT return early with
+    unused deadline: rounds keep sampling (symmetrically, reading only
+    the clock) up to max_rounds. Regression pin for the 2026-08-21
+    rehearsal: best-of-2 with 755s unspent and a noisy fast leg."""
+    calls, clock = _legs(
+        stub_env,
+        [(1000, 470), (3700, 140),    # quiet, no trigger fires
+         (1000, 470), (3500, 148),
+         (1005, 468), (4000, 130)])   # filled round finds the fast leg
+    res = bench._run_scaling("/x", clock["t"], 5000)
+    assert len(res["low_leg_attempts"]) == 3     # max_rounds in stub_env
+    assert len(res["high_leg_attempts"]) == 3
+    assert res["pairs_per_sec_high"] == 4000
+    assert "stopped_early" not in res
+
+
 def test_watch_cpus_complement(monkeypatch):
-    """The gauge watches exactly the schedulable CPUs OUTSIDE the leg's
-    bind range, and is off for unbound legs."""
+    """The gauge watches the schedulable CPUs OUTSIDE the leg's bind
+    range for external busy, the bind range itself for steal, and is
+    off for unbound legs."""
     monkeypatch.setattr(bench.os, "sched_getaffinity",
                         lambda pid: set(range(8)), raising=False)
-    assert bench._watch_cpus("3-6") == [0, 1, 2, 7]
-    assert bench._watch_cpus("2-2") == [0, 1, 3, 4, 5, 6, 7]
-    assert bench._watch_cpus(None) == []
+    assert bench._watch_cpus("3-6") == ([0, 1, 2, 7], [3, 4, 5, 6])
+    assert bench._watch_cpus("2-2") == ([0, 1, 3, 4, 5, 6, 7], [2])
+    assert bench._watch_cpus(None) == ([], [])
 
 
 def test_timed_out_leg_keeps_banked_attempts(stub_env):
