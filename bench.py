@@ -724,18 +724,19 @@ def _run_scaling(sf_dir: str, t_start: float, deadline: float,
     # ±1%, so N=2 under-samples the noisy leg). External load only ever
     # STEALS cycles, so best-of-N estimates the uncontended capability of
     # BOTH legs and more rounds refine both sides of the ratio equally.
-    # Unlike the trigger retries (optimistic projection — a contended
-    # observation must not cancel the retry that fixes it), filling uses
-    # a CONSERVATIVE projection (worst observed round + margin): with
-    # nothing wrong to fix, starting a round that likely dies at the
-    # deadline only litters the artifact with a killed leg.
-    def _fits_conservative() -> bool:
-        if lo_secs and hi_secs:
-            return _remaining() > 1.15 * (max(lo_secs) + max(hi_secs))
-        return _remaining() > _estimate()
-
+    # Filling uses the same OPTIMISTIC projection as the trigger retries
+    # (least-contended round could fit). The failure mode of optimism is
+    # benign and self-limiting: a fill round that outlives the deadline
+    # is killed by its per-leg timeout, banked attempts stand, the final
+    # JSON still prints — and an INCOMPLETE fill round can only leave an
+    # extra LOW attempt (legs run lo-then-hi), whose only possible effect
+    # on max(lo) is to RAISE the denominator, i.e. a conservative bias.
+    # A conservative projection was tried first and cost the decisive
+    # third sample twice (2026-08-21: two quiet full runs each ended
+    # best-of-2 at eff 0.78 with ~600s unspent because the worst
+    # observed round × 1.15 overshot the remaining budget by ~60s).
     while (stopped is None and los and len(los) < max_rounds
-           and _fits_conservative()):
+           and _remaining() > _estimate()):
         if not _one_round():
             break
 

@@ -61,15 +61,17 @@ def _legs(monkeypatch, schedule):
     return calls, clock
 
 
-def test_quiet_run_two_symmetric_rounds(stub_env):
-    calls, clock = _legs(stub_env, [(1000, 470), (4000, 130)] * 2)
+def test_quiet_run_symmetric_rounds_fill_budget(stub_env):
+    """Quiet legs: the contract rounds run, then budget-filling keeps
+    sampling symmetrically while the optimistic projection fits."""
+    calls, clock = _legs(stub_env, [(1000, 470), (4000, 130)] * 3)
     res = bench._run_scaling("/x", clock["t"], 1800)
-    assert res["low_leg_attempts"] == [1000, 1000]
-    assert res["high_leg_attempts"] == [4000, 4000]
+    assert res["low_leg_attempts"] == [1000, 1000, 1000]
+    assert res["high_leg_attempts"] == [4000, 4000, 4000]
     assert res["scaling_efficiency"] == 1.0
     assert "stopped_early" not in res
     # alternating lo/hi, same cores each round
-    assert calls["cores"] == [1, 4, 1, 4]
+    assert calls["cores"] == [1, 4, 1, 4, 1, 4]
 
 
 def test_contended_observation_cannot_poison_projection(stub_env):
@@ -143,7 +145,8 @@ def test_host_load_trigger_reads_best_attempt_only(stub_env):
         stub_env,
         [(1000, 470, 0.02), (4000, 130, 0.02),   # quiet bests
          (850, 530, 0.50), (3400, 150, 0.50)])   # contended non-bests
-    res = bench._run_scaling("/x", clock["t"], 1800)
+    # deadline leaves no room for a budget-fill round either
+    res = bench._run_scaling("/x", clock["t"], 1300)
     assert len(res["low_leg_attempts"]) == 2     # no third round
     assert res["scaling_efficiency"] == 1.0
 
@@ -158,7 +161,7 @@ def test_budget_filling_rounds_use_leftover_deadline(stub_env):
         [(1000, 470), (3700, 140),    # quiet, no trigger fires
          (1000, 470), (3500, 148),
          (1005, 468), (4000, 130)])   # filled round finds the fast leg
-    res = bench._run_scaling("/x", clock["t"], 5000)
+    res = bench._run_scaling("/x", clock["t"], 2400)
     assert len(res["low_leg_attempts"]) == 3     # max_rounds in stub_env
     assert len(res["high_leg_attempts"]) == 3
     assert res["pairs_per_sec_high"] == 4000
@@ -196,7 +199,7 @@ def test_sigterm_snapshot_banks_whole_rounds_only(stub_env):
     """The SIGTERM insurance snapshot refreshes at round boundaries, so
     whatever the handler prints has symmetric attempt counts."""
     base = {"metric": "end_to_end_sec", "value": 1.0}
-    calls, clock = _legs(stub_env, [(1000, 470), (4000, 130)] * 2)
+    calls, clock = _legs(stub_env, [(1000, 470), (4000, 130)] * 3)
     res = bench._run_scaling("/x", clock["t"], 1800, base)
     snap = bench._PARTIAL_OUT
     assert snap is not None and "scaling" in snap
