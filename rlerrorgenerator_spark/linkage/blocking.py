@@ -357,20 +357,21 @@ def minhash_blocks_verified(clean: DataFrame, dirty: DataFrame,
                  F.col("bk.bkey").alias("bkey"))
 
     def cap(keyed: DataFrame) -> DataFrame:
-        hot = (
-            keyed.groupBy("band", "bkey").count()
-            .where(F.col("count") > max_block_size)
-            .select("band", "bkey")
+        # per-key count window, same discipline as _cap_blocks_two_sided's
+        # default form: single consumer of the signature plan (no
+        # double-evaluation trap, no localCheckpoint needed), no driver
+        # broadcast build, and the window's (band, bkey) exchange is the
+        # exact partitioning the bucket join consumes — one Exchange per
+        # side in the dumped plan
+        w = Window.partitionBy("band", "bkey")
+        return (
+            keyed.withColumn("__bc", F.count(F.lit(1)).over(w))
+            .where(F.col("__bc") <= max_block_size)
+            .drop("__bc")
         )
-        return keyed.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
 
-    # each side's band keys feed TWO consumers (hot-bucket count + the
-    # anti-join probe) — without plan truncation Catalyst re-evaluates
-    # the full signature aggregation per consumer (no exchange reuse
-    # across the broadcast boundary), the same trap minhash_dup_pairs
-    # documents; lazy localCheckpoint materializes each side once
-    ka = cap(band_keys(sig_a, "rid_a").localCheckpoint(eager=False))
-    kb = cap(band_keys(sig_b, "rid_b").localCheckpoint(eager=False))
+    ka = cap(band_keys(sig_a, "rid_a"))
+    kb = cap(band_keys(sig_b, "rid_b"))
     return (
         ka.join(kb, ["band", "bkey"])
         .groupBy("rid_a", "rid_b")

@@ -79,6 +79,7 @@ def run_linkage(
     exact: bool = True,
     body_tokens: tuple[int, int] = (20, 120),
     amount_mult: float = 1.0,
+    dirty_pages: DataFrame | None = None,
 ) -> LinkageResult:
     """Full benchmark run; returns every stage as a DataFrame.
 
@@ -87,6 +88,13 @@ def run_linkage(
     becomes one narrow fusable projection (no joins, no per-stage jobs),
     so the whole injection program checkpoints every few stages instead
     of every stage; realized counts are Binomial around the target.
+
+    ``dirty_pages``: a pre-materialized dirty table (rid, url, text,
+    lang, orig_url, …) — the 10^12-document deployment shape, where the
+    injected corpus is a persisted Iceberg artifact derived ONCE and the
+    linkage job's first step is scanning it, not regenerating it. When
+    given, injection is skipped and ``lineage`` is empty (ground truth
+    for labeling travels in the table's own ``orig_url``).
     """
     ckpt = CheckpointManager(spark, ckpt_dir)
     if pages is None:
@@ -98,21 +106,29 @@ def run_linkage(
     # a column no stage reads.
     clean = ckpt.stage(prep_pages(pages).drop("html"), "clean")
     cfg = config or default_error_config()
-    dirty, lineage = mess_data(clean, cfg, seed=seed, ckpt=ckpt, exact=exact,
-                               amount_mult=amount_mult,
-                               checkpoint_every=1 if exact else 4)
+    if dirty_pages is not None:
+        from rlerrorgenerator_spark.operators.driver import empty_lineage
+
+        dirty, lineage = dirty_pages, empty_lineage(spark)
+    else:
+        dirty, lineage = mess_data(clean, cfg, seed=seed, ckpt=ckpt,
+                                   exact=exact, amount_mult=amount_mult,
+                                   checkpoint_every=1 if exact else 4)
     # Stage the injected table ONCE before its fan-out: blocking scans it
     # 3x (exact keys, SNM sort key, minhash signatures), scoring and
     # labeling twice more, and on the volatile Bernoulli path the row-op
     # tail (duplicates/twins unions + joins) re-executed under EVERY
     # consumer. At 100 TB the dirty corpus is the benchmark artifact and
-    # is always persisted (the durable path already staged it); A/B/A/B
+    # is always persisted (the durable path already staged it; the
+    # dirty_pages path reads it straight from parquet/Iceberg — columnar
+    # scans re-read cheaply, so no extra in-memory snapshot); A/B/A/B
     # bound legs at 240k rows measured the 4-core leg 131-142s unstaged
     # vs 126-128s staged. The 1-core leg pays one extra serial
     # materialization (~15s) — the staged table is still the right plan
     # at every parallelism. SPARK_GRAFT_STAGE_DIRTY=0 restores the
     # re-derive-per-consumer behavior for A/B measurement.
-    if os.environ.get("SPARK_GRAFT_STAGE_DIRTY", "1") == "1":
+    if (dirty_pages is None
+            and os.environ.get("SPARK_GRAFT_STAGE_DIRTY", "1") == "1"):
         dirty = ckpt.stage(dirty, "dirty_staged")
     candidates = ckpt.stage(
         build_candidates(clean, dirty, use_minhash=use_minhash), "candidates"
