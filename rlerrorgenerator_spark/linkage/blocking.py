@@ -163,20 +163,41 @@ def sorted_neighborhood_blocks(clean: DataFrame, dirty: DataFrame,
     from rlerrorgenerator_spark.functions.rank import global_rank
 
     ranked = global_rank(u, ["skey", "side", "rid"], out_col="rn")
-    ranked = ranked.withColumn("band", (F.col("rn") / window).cast("long"))
-    left = ranked.where(F.col("side") == "a").select(
-        F.col("rid").alias("rid_a"), F.col("rn").alias("rn_a"), "band"
+    # Neighborhood pairing via DENSE-RANK BLOCKS + lag windows, not a
+    # banded self-join: rn is dense (1..n), so blocks of B consecutive
+    # ranks have exactly B rows (last block excepted) and a pair at rank
+    # distance ≤ window either sits inside one block or straddles one
+    # boundary — replicating each block's last `window` rows into the
+    # next block's stream makes the per-block lag window see EXACTLY the
+    # same pair set as the former |rn_a − rn_b| ≤ window band join
+    # (whose |band| ≤ 1 condition was implied), at ONE hash shuffle on
+    # the block id instead of three shifted join shuffles. B >> window
+    # bounds replication overhead at window/B per row; blocks stay small
+    # enough (~8k rows) that AQE keeps many tasks in flight at any core
+    # count.
+    B = 8192
+    blk = ranked.withColumn("__bid",
+                            ((F.col("rn") - 1) / B).cast("long"))
+    tails = blk.where((F.col("rn") - 1) % B >= B - window) \
+               .withColumn("__bid", F.col("__bid") + 1)
+    stream = blk.unionByName(tails)
+    ws = Window.partitionBy("__bid").orderBy("rn")
+    prev = F.array(*[
+        F.lag(F.struct("rid", "side"), i).over(ws)
+        for i in range(1, window + 1)
+    ])
+    pairs = (
+        stream.withColumn("__prev", prev)
+        .select("rid", "side", F.explode("__prev").alias("p"))
+        .where(F.col("p").isNotNull() & (F.col("p.side") != F.col("side")))
+        .select(
+            F.when(F.col("side") == "a", F.col("rid"))
+            .otherwise(F.col("p.rid")).alias("rid_a"),
+            F.when(F.col("side") == "a", F.col("p.rid"))
+            .otherwise(F.col("rid")).alias("rid_b"),
+            F.lit("snm").alias("block"),
+        )
     )
-    right = ranked.where(F.col("side") == "b").select(
-        F.col("rid").alias("rid_b"), F.col("rn").alias("rn_b"), "band"
-    )
-    pairs = None
-    for shift in (-1, 0, 1):
-        lj = left.withColumn("band", F.col("band") + F.lit(shift))
-        p = lj.join(right, "band").where(
-            F.abs(F.col("rn_a") - F.col("rn_b")) <= window
-        ).select("rid_a", "rid_b", F.lit("snm").alias("block"))
-        pairs = p if pairs is None else pairs.unionByName(p)
     return pairs.dropDuplicates(["rid_a", "rid_b"])
 
 
